@@ -1,0 +1,103 @@
+"""Single dataclass config with presets.
+
+Replaces the reference's argparse flags duplicated across three entry scripts
+(/root/reference/train_hybrid.py:19-69, eval_hybrid.py:15-66,
+eval_hybrid_seq.py:17-70) and its hardcoded constants (image size 320x256 at
+data/scannet.py:62, frame interval 10 at data/scannet.py:258).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """DepthNetHybrid hyper-parameters (reference model_hybrid.py:15-16)."""
+
+    ndepths: int = 64
+    depth_min: float = 0.01
+    depth_max: float = 10.0
+    resnet: int = 50
+    est_transformer: bool = True
+    # Compute dtype for conv stacks; normalization + softargmin stay fp32.
+    compute_dtype: str = "float32"
+
+    @property
+    def depth_interval(self) -> float:
+        return (self.depth_max - self.depth_min) / (self.ndepths - 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Input pipeline settings (reference data/scannet.py, general_eval*.py)."""
+
+    height: int = 256
+    width: int = 320
+    n_frames: int = 5  # training window length (train_hybrid.py defaults)
+    frame_interval: int = 10  # every 10th frame (data/scannet.py:258)
+    # ScanNet default intrinsics at 640x480 (data/scannet.py:83-87)
+    fx: float = 577.870605
+    fy: float = 577.870605
+    cx: float = 319.5
+    cy: float = 239.5
+    depth_min: float = 0.01
+    depth_max: float = 10.0
+    min_valid_ratio: float = 0.5  # assert >=50% valid depth (scannet.py:147-149)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization settings (reference train_hybrid.py:80-97, README.md:62-78)."""
+
+    lr: float = 4e-5
+    weight_decay: float = 4e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epochs: int = 7
+    lr_decay_epochs: Tuple[int, ...] = (2, 4, 6)
+    lr_decay_factor: float = 0.5
+    warmup_steps: int = 500
+    warmup_factor: float = 1.0 / 3.0
+    # grad clip 10 for epochs < 3, then 1 (train_hybrid.py:94-97)
+    clip_early: float = 10.0
+    clip_late: float = 1.0
+    clip_switch_epoch: int = 3
+    batch_per_device: int = 1
+    seed: int = 1
+    loss_scale_weight: float = 0.8  # per-scale weight 0.8**scale (model_hybrid.py:219)
+    sync_bn: bool = True
+    summary_freq: int = 10
+    ckpt_steps: int = 5000
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation protocol (eval_hybrid.py:76-78, eval_hybrid_seq.py:70)."""
+
+    seq_length: int = 5  # joint-mode window
+    lwindow: int = 3  # ESTM local window
+    memory_size: int = 2  # ESTM FIFO memory entries
+    eval_depth_min: float = 0.3  # scoring valid range (metric.py:4)
+    eval_depth_max: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def tiny_config() -> Config:
+    """Small shapes for unit tests and CPU dry runs."""
+    return Config(
+        model=ModelConfig(ndepths=8),
+        data=DataConfig(height=64, width=96),
+    )

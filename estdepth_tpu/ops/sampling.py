@@ -1,0 +1,125 @@
+"""Grid sampling (bilinear / trilinear) with torch-1.2 grid_sample semantics.
+
+The reference leans on torch grid_sample with implicit align_corners=True and
+zeros padding, and additionally forces any out-of-range coordinate fully out
+of bounds so border pixels never blend with padding
+(/root/reference/utils/homo_utils.py:488-491 for 2D, :192-198 for 3D).
+
+Those semantics reduce to: a sample point is *valid* iff every coordinate is
+inside [0, size-1]; valid points get standard bilinear/trilinear
+interpolation of in-bounds corners; invalid points are exactly zero. We
+implement that as clamp + interpolate + multiply-by-valid, which is
+mathematically identical and maps onto TPU-friendly clamped gathers with no
+scatter or branching.
+
+These are the jnp reference implementations; Pallas fused kernels (see
+estdepth_tpu/ops/pallas/) must match them bit-for-bit-ish (fp32 tolerance).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _gather_hw(flat_src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, width: int):
+    """Gather [B, N, C] from flat_src [B, H*W, C] at integer (iy, ix) [B, N]."""
+    idx = iy * width + ix
+    return jnp.take_along_axis(
+        flat_src, idx[..., None], axis=1, mode="promise_in_bounds"
+    )
+
+
+def bilinear_sample(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of src [B, H, W, C] at pixel coords x, y [B, N] -> [B, N, C].
+
+    align_corners=True coordinates: valid range is [0, W-1] x [0, H-1];
+    anything outside samples to exactly 0 (reference homo_utils.py:484-501).
+    """
+    b, h, w, c = src.shape
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    xf = jnp.clip(xf, 0.0, w - 1.0)
+    yf = jnp.clip(yf, 0.0, h - 1.0)
+
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    wx = (xf - x0).astype(src.dtype)[..., None]
+    wy = (yf - y0).astype(src.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = src.reshape(b, h * w, c)
+    v00 = _gather_hw(flat, y0i, x0i, w)
+    v01 = _gather_hw(flat, y0i, x1i, w)
+    v10 = _gather_hw(flat, y1i, x0i, w)
+    v11 = _gather_hw(flat, y1i, x1i, w)
+
+    top = v00 + wx * (v01 - v00)
+    bot = v10 + wx * (v11 - v10)
+    out = top + wy * (bot - top)
+    return out * valid[..., None].astype(src.dtype)
+
+
+def trilinear_sample(
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+) -> jnp.ndarray:
+    """Trilinear sample of src [B, D, H, W, C] at coords (x, y, z) [B, N] -> [B, N, C].
+
+    z indexes the leading (depth-plane) axis D, x the width, y the height —
+    matching the 5D grid_sample call in warp_volume (homo_utils.py:276) whose
+    grid stacks (X, Y, Z) normalized over (W-1, H-1, D-1).
+    Out-of-range on any axis -> exactly 0 (homo_utils.py:192-198).
+    """
+    b, d, h, w, c = src.shape
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    zf = z.astype(jnp.float32)
+    valid = (
+        (xf >= 0)
+        & (xf <= w - 1)
+        & (yf >= 0)
+        & (yf <= h - 1)
+        & (zf >= 0)
+        & (zf <= d - 1)
+    )
+    xf = jnp.clip(xf, 0.0, w - 1.0)
+    yf = jnp.clip(yf, 0.0, h - 1.0)
+    zf = jnp.clip(zf, 0.0, d - 1.0)
+
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    z0 = jnp.floor(zf)
+    wx = (xf - x0).astype(src.dtype)[..., None]
+    wy = (yf - y0).astype(src.dtype)[..., None]
+    wz = (zf - z0).astype(src.dtype)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    z0i = z0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    z1i = jnp.minimum(z0i + 1, d - 1)
+
+    flat = src.reshape(b, d * h * w, c)
+
+    def gather(zi, yi, xi):
+        idx = (zi * h + yi) * w + xi
+        return jnp.take_along_axis(
+            flat, idx[..., None], axis=1, mode="promise_in_bounds"
+        )
+
+    def lerp_plane(zi):
+        v00 = gather(zi, y0i, x0i)
+        v01 = gather(zi, y0i, x1i)
+        v10 = gather(zi, y1i, x0i)
+        v11 = gather(zi, y1i, x1i)
+        top = v00 + wx * (v01 - v00)
+        bot = v10 + wx * (v11 - v10)
+        return top + wy * (bot - top)
+
+    front = lerp_plane(z0i)
+    back = lerp_plane(z1i)
+    out = front + wz * (back - front)
+    return out * valid[..., None].astype(src.dtype)

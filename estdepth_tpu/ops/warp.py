@@ -1,0 +1,96 @@
+"""Plane-sweep and frustum (cost-volume) warps.
+
+TPU-native, batched equivalents of the reference's two hot warp ops:
+  * plane_sweep_warp  <-> homo_warping (/root/reference/utils/homo_utils.py:458-504)
+  * frustum_warp      <-> warp_volume  (/root/reference/utils/homo_utils.py:240-279)
+
+Both express the projective math as batched matmuls over a static pixel grid
+followed by a clamped gather interpolation (see ops/sampling.py), all with
+static shapes so XLA fuses the coordinate math into the gather's index
+computation. A Pallas fused version lives in ops/pallas/.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from estdepth_tpu.ops import geometry
+from estdepth_tpu.ops.sampling import bilinear_sample, trilinear_sample
+
+
+def plane_sweep_warp(
+    src_feat: jnp.ndarray,
+    src_proj: jnp.ndarray,
+    ref_proj: jnp.ndarray,
+    depth_values: jnp.ndarray,
+) -> jnp.ndarray:
+    """Warp src features over fronto-parallel depth planes of the ref camera.
+
+    Args:
+      src_feat: [B, H, W, C] source-view feature map.
+      src_proj / ref_proj: [B, 4, 4] K-premultiplied world->pixel projections
+        (geometry.camera_projection).
+      depth_values: [B, D] depth hypotheses.
+
+    Returns:
+      [B, D, H, W, C] warped feature volume; out-of-frustum samples are 0.
+
+    Matches homo_warping: rot/trans from src_proj @ inv(ref_proj)
+    (homo_utils.py:469-471), projective division with +1e-8 (:483), bilinear
+    zeros-padding sampling with hard out-of-range masking (:488-501).
+    """
+    b, h, w, _ = src_feat.shape
+    d = depth_values.shape[1]
+
+    rot, trans = geometry.relative_projection(src_proj, ref_proj)
+    grid = geometry.pixel_grid(h, w)  # [3, H*W]
+    rot_xyz = jnp.einsum("bij,jn->bin", rot, grid)  # [B, 3, H*W]
+    # [B, 3, D, H*W]
+    pts = rot_xyz[:, :, None, :] * depth_values[:, None, :, None]
+    pts = pts + trans[:, :, None, None]
+    zb = pts[:, 2] + 1e-8
+    x = (pts[:, 0] / zb).reshape(b, d * h * w)
+    y = (pts[:, 1] / zb).reshape(b, d * h * w)
+
+    out = bilinear_sample(src_feat, x, y)  # [B, D*H*W, C]
+    return out.reshape(b, d, h, w, src_feat.shape[-1])
+
+
+def frustum_warp(
+    volume: jnp.ndarray,
+    rel_pose: jnp.ndarray,
+    cam_intr: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    depth_min: float,
+    depth_interval: float,
+) -> jnp.ndarray:
+    """Resample a source-view frustum volume into the target-view frustum.
+
+    Args:
+      volume: [B, D, H, W, C] source K/V cost volume (voxel (d,y,x) sits at
+        depth depth_values[:, d] along the source camera ray through (x, y)).
+      rel_pose: [B, 4, 4] = src_pose @ inv(target_pose); the inverse is
+        applied internally, mirroring warp_volume's cam2cam(.., inverse(pose))
+        (homo_utils.py:258) as called from the decoder
+        (hybrid_depth_decoder.py:235-243).
+      cam_intr: [B, 3, 3] (at the volume's resolution).
+      depth_values: [B, D] depth of each plane.
+      depth_min / depth_interval: map depth -> fractional plane index
+        (homo_utils.py:188).
+
+    Returns:
+      [B, D, H, W, C] target-frustum volume, trilinear, zeros out of range.
+    """
+    b, d, h, w, _ = volume.shape
+
+    grid = geometry.pixel_grid(h, w)  # [3, H*W]
+    rays = geometry.backproject(cam_intr, grid)  # [B, 3, H*W]
+    # Lift target frustum voxels to 3D: [B, 3, D, H*W]
+    pts = rays[:, :, None, :] * depth_values[:, None, :, None]
+    t = jnp.linalg.inv(rel_pose)
+    pts = geometry.transform_points(t, pts)
+    x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
+
+    zi = (z - depth_min) / depth_interval  # fractional source plane index
+    out = trilinear_sample(volume, x, y, zi)
+    return out.reshape(b, d, h, w, volume.shape[-1])

@@ -1,0 +1,85 @@
+"""Sampling parity vs torch grid_sample(align_corners=True, zeros padding).
+
+torch >= 1.3's explicit align_corners=True reproduces the torch-1.2 semantics
+the reference depends on. The reference additionally zeroes any sample whose
+coordinate leaves [-1, 1] (homo_utils.py:488-491), which we model in the
+torch golden by masking.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from estdepth_tpu.ops.sampling import bilinear_sample, trilinear_sample
+
+torch = pytest.importorskip("torch")
+
+
+def _norm(coord, size):
+    return 2.0 * coord / (size - 1.0) - 1.0
+
+
+def test_bilinear_matches_torch(rng):
+    b, h, w, c = 2, 13, 17, 5
+    n = 400
+    src = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    # include plenty of out-of-range points
+    x = rng.uniform(-4, w + 3, size=(b, n)).astype(np.float32)
+    y = rng.uniform(-4, h + 3, size=(b, n)).astype(np.float32)
+
+    got = np.asarray(bilinear_sample(jnp.array(src), jnp.array(x), jnp.array(y)))
+
+    t_src = torch.from_numpy(src).permute(0, 3, 1, 2)  # [B,C,H,W]
+    gx, gy = _norm(x, w), _norm(y, h)
+    valid = (np.abs(gx) <= 1) & (np.abs(gy) <= 1)
+    # reference forces OOB coords to 2 -> fully zero sample
+    gx = np.where(valid, gx, 2.0)
+    gy = np.where(valid, gy, 2.0)
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1)[:, :, None, :])  # [B,N,1,2]
+    want = torch.nn.functional.grid_sample(
+        t_src, grid, mode="bilinear", padding_mode="zeros", align_corners=True
+    )  # [B,C,N,1]
+    want = want.squeeze(-1).permute(0, 2, 1).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_trilinear_matches_torch(rng):
+    b, d, h, w, c = 2, 6, 9, 11, 4
+    n = 500
+    src = rng.normal(size=(b, d, h, w, c)).astype(np.float32)
+    x = rng.uniform(-3, w + 2, size=(b, n)).astype(np.float32)
+    y = rng.uniform(-3, h + 2, size=(b, n)).astype(np.float32)
+    z = rng.uniform(-3, d + 2, size=(b, n)).astype(np.float32)
+
+    got = np.asarray(
+        trilinear_sample(jnp.array(src), jnp.array(x), jnp.array(y), jnp.array(z))
+    )
+
+    t_src = torch.from_numpy(src).permute(0, 4, 1, 2, 3)  # [B,C,D,H,W]
+    gx, gy, gz = _norm(x, w), _norm(y, h), _norm(z, d)
+    valid = (np.abs(gx) <= 1) & (np.abs(gy) <= 1) & (np.abs(gz) <= 1)
+    gx = np.where(valid, gx, 2.0)
+    gy = np.where(valid, gy, 2.0)
+    gz = np.where(valid, gz, 2.0)
+    grid = torch.from_numpy(
+        np.stack([gx, gy, gz], axis=-1)[:, :, None, None, :]
+    )  # [B,N,1,1,3]
+    want = torch.nn.functional.grid_sample(
+        t_src, grid, mode="bilinear", padding_mode="zeros", align_corners=True
+    )  # [B,C,N,1,1]
+    want = want.squeeze(-1).squeeze(-1).permute(0, 2, 1).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_identity_grid(rng):
+    """Sampling at exact integer pixel locations returns the input."""
+    b, h, w, c = 1, 8, 10, 3
+    src = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    x = xx.reshape(1, -1).astype(np.float32)
+    y = yy.reshape(1, -1).astype(np.float32)
+    got = np.asarray(bilinear_sample(jnp.array(src), jnp.array(x), jnp.array(y)))
+    np.testing.assert_allclose(got.reshape(b, h, w, c), src, atol=1e-6)
