@@ -1,0 +1,161 @@
+"""ScanNet training dataset: overlapping 5-frame windows.
+
+Behavioral equivalent of ScannetDataset
+(/root/reference/data/scannet.py:61-272):
+  * scene layout <root>/<scene>/{rgb/%d.jpg, depth/%d.png, pose/%d.txt};
+  * every 10th frame (interval, :258), non-finite pose truncates the scene
+    (:216-223);
+  * per-scene index cached next to the data (:206-248);
+  * windows of n_frames starting at i-r for i in range(r, len-r, r//2) —
+    the effective windows of build_dataset_index_train + read_sample_train
+    (:250-272, :114);
+  * resize to (width, height), BGR->RGB, depth mm->m, validity mask in
+    [depth_min, depth_max], >=50% valid assertion (:142-149);
+  * corrupt-sample retry with random substitution (:169-178).
+
+Emits channels-last numpy samples ready for the TPU input pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from estdepth_tpu.data import io_utils
+
+_CACHE_NAME = "scene_index.json"
+
+
+def _load_scan(
+    scan_path: str, interval: int = 10, use_cache: bool = True,
+    reload_scan: bool = False,
+) -> Dict[str, List[str]]:
+    cache = os.path.join(scan_path, _CACHE_NAME)
+    if use_cache and os.path.exists(cache) and not reload_scan:
+        with open(cache) as f:
+            return json.load(f)
+
+    pose_dir = os.path.join(scan_path, "pose")
+    ids = sorted(
+        int(os.path.basename(p).split(".")[0])
+        for p in os.listdir(pose_dir)
+        if p.endswith(".txt")
+    )
+    images, depths, poses = [], [], []
+    for i in ids[::interval]:
+        pose_file = os.path.join(scan_path, "pose", f"{i}.txt")
+        pose = np.loadtxt(pose_file)
+        if not np.all(np.isfinite(pose)):
+            break  # reference truncates at the first bad pose (:220-221)
+        poses.append(pose_file)
+        images.append(os.path.join(scan_path, "rgb", f"{i}.jpg"))
+        depths.append(os.path.join(scan_path, "depth", f"{i}.png"))
+
+    info = {"images": images, "depths": depths, "poses": poses}
+    if use_cache:
+        try:
+            with open(cache, "w") as f:
+                json.dump(info, f)
+        except OSError:
+            pass
+    return info
+
+
+class ScanNetTrainDataset:
+    def __init__(
+        self,
+        dataset_path: str,
+        split_txt: Optional[str] = None,
+        height: int = 256,
+        width: int = 320,
+        n_frames: int = 5,
+        depth_min: float = 0.1,
+        depth_max: float = 10.0,
+        frame_interval: int = 10,
+        min_valid_ratio: float = 0.5,
+        reload_scan: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset_path = dataset_path
+        self.height = height
+        self.width = width
+        self.n_frames = n_frames
+        self.depth_min = depth_min
+        self.depth_max = depth_max
+        self.min_valid_ratio = min_valid_ratio
+        self._rng = np.random.default_rng(seed)
+
+        if split_txt and os.path.exists(split_txt):
+            self.scenes = io_utils.read_split_file(split_txt)
+        else:
+            self.scenes = sorted(os.listdir(dataset_path))
+
+        self.cam_intr = io_utils.scannet_intrinsics(width, height)
+        self._build_index(frame_interval, reload_scan)
+
+    def _build_index(self, interval: int, reload_scan: bool):
+        self.index: List[Dict[str, List[str]]] = []
+        r = self.n_frames
+        skip = r // 2
+        for scan in self.scenes:
+            info = _load_scan(
+                os.path.join(self.dataset_path, scan), interval,
+                reload_scan=reload_scan,
+            )
+            images, depths, poses = info["images"], info["depths"], info["poses"]
+            for i in range(r, len(images) - r, skip):
+                s = i - r  # reference reads the first n_frames of [i-r:i+r+1]
+                self.index.append(
+                    {
+                        "images": images[s : s + r],
+                        "depths": depths[s : s + r],
+                        "poses": poses[s : s + r],
+                    }
+                )
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _read(self, i: int) -> Dict[str, np.ndarray]:
+        blob = self.index[i]
+        imgs, poses, dmaps, dmasks = [], [], [], []
+        for f in range(self.n_frames):
+            imgs.append(
+                io_utils.read_image_rgb(blob["images"][f], self.width, self.height)
+            )
+            pose = io_utils.read_pose(blob["poses"][f])
+            assert np.all(np.isfinite(pose))
+            poses.append(pose)
+            depth = io_utils.read_depth_mm(
+                blob["depths"][f], self.width, self.height
+            )
+            mask = (
+                (depth >= self.depth_min)
+                & (depth <= self.depth_max)
+                & np.isfinite(depth)
+            )
+            depth = np.where(mask, depth, 0.0)
+            ratio = mask.mean()
+            assert ratio > self.min_valid_ratio, f"only {ratio:.0%} valid depth"
+            dmaps.append(depth)
+            dmasks.append(mask)
+        return {
+            "imgs": np.stack(imgs).astype(np.float32),        # [V,H,W,3]
+            "cam_poses": np.stack(poses).astype(np.float32),  # [V,4,4]
+            "cam_intr": self.cam_intr,                        # [3,3]
+            # targets are frames 1..V-2 (model consumes only those GTs)
+            "dmaps": np.stack(dmaps[1:-1]).astype(np.float32),  # [T,H,W]
+            "dmasks": np.stack(dmasks[1:-1]),                   # [T,H,W]
+        }
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        # corrupt-sample retry with random substitution (scannet.py:169-178)
+        for _ in range(32):
+            try:
+                return self._read(i)
+            except Exception:
+                i = int(self._rng.integers(0, len(self)))
+        raise RuntimeError("too many consecutive corrupt samples")

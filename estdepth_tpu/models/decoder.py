@@ -1,0 +1,342 @@
+"""Hybrid depth decoder: semantic U-Net + 3D matching stack + EST fusion.
+
+Behavioral equivalent of DepthHybridDecoder
+(/root/reference/hybrid_models/hybrid_depth_decoder.py:41-433), redesigned
+for TPU/XLA:
+
+  * the per-target Python loops over warps and attention
+    (hybrid_depth_decoder.py:229-260) are folded into one batched
+    frustum_warp + one batched EpipolarTransformer call over a static
+    (target, neighbor) pair list — every hot op is a single large conv /
+    gather instead of many small ones;
+  * the softargmin is taken at cost-volume resolution and the *depth map*
+    is nearest-upsampled x4, which is mathematically identical to the
+    reference's upsample-logits-then-softargmin (F.interpolate default
+    nearest, hybrid_depth_decoder.py:202,259) because depth hypotheses are
+    spatially constant — a 16x saving on softmax work;
+  * streaming state is the fixed-shape ESTMemory pytree instead of Python
+    lists.
+
+Two forward behaviors, selected by the static `use_est` flag exactly like
+the reference's `flag` (hybrid_depth_decoder.py:423): with EST fusion
+(forward_transformer, :138-292) and without (forward_notransformer,
+:294-417).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from estdepth_tpu.models.est_transformer import EpipolarTransformer
+from estdepth_tpu.models.layers import ConvBN, upsample_nearest
+from estdepth_tpu.models.memory import ESTMemory
+from estdepth_tpu.ops.warp import frustum_warp
+
+
+def softargmin_depth(
+    logits: jnp.ndarray, depth_values: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth expectation + max probability from plane logits.
+
+    logits: [N, D, H, W]; depth_values: [N, D].
+    Equivalent of depthlayer (hybrid_depth_decoder.py:33-38). fp32 reduction.
+    """
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    depth = jnp.einsum("ndhw,nd->nhw", probs, depth_values.astype(jnp.float32))
+    prob = jnp.max(probs, axis=1)
+    return depth, prob
+
+
+class ConvBlock(nn.Module):
+    """convbn 3x3 + ReLU (hybrid_depth_decoder.py:17-30)."""
+
+    features: int
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBN(
+            self.features, 3, 1, act="relu",
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="conv",
+        )(x, train)
+
+
+class ConvBNRelu3D(nn.Module):
+    features: int
+    kernel: int = 3
+    act: str = "relu"
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return ConvBN(
+            self.features, (self.kernel,) * 3, 1, act=self.act,
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="conv",
+        )(x, train)
+
+
+class StereoHead(nn.Module):
+    """convbnrelu_3d(16) + Conv3d(16->1, k1, bias) (decoder :104-112)."""
+
+    channels: int = 16
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBNRelu3D(
+            self.channels, 3, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            name="conv0",
+        )(x, train)
+        x = nn.Conv(1, (1, 1, 1), padding="VALID", dtype=self.dtype, name="out")(x)
+        return x[..., 0]  # [N, D, H, W]
+
+
+class DepthHybridDecoder(nn.Module):
+    ndepths: int = 64
+    depth_max: float = 10.0
+    est_transformer: bool = True
+    base_channels: int = 32
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        # num_ch_dec = [16, 32, ndepths, 128, 256] (decoder :52)
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        self.upconv_4_0 = ConvBlock(256, **kw)
+        self.upconv_4_1 = ConvBlock(256, **kw)
+        self.upconv_3_0 = ConvBlock(128, **kw)
+        self.upconv_3_1 = ConvBlock(128, **kw)
+        self.upconv_2_0 = ConvBlock(self.ndepths, **kw)
+        self.upconv_2_1 = ConvBlock(self.ndepths, **kw)
+        self.upconv_1_0 = ConvBlock(32, **kw)
+        self.upconv_1_1 = ConvBlock(32, **kw)
+        self.upconv_0_0 = ConvBlock(16, **kw)
+        self.upconv_0_1 = ConvBlock(16, **kw)
+        self.dispconv_1 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
+        self.dispconv_0 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
+
+        bc = self.base_channels
+        self.dres0_0 = ConvBNRelu3D(bc, **kw)
+        self.dres0_1 = ConvBNRelu3D(bc, **kw)
+        self.dres1_0 = ConvBNRelu3D(bc, **kw)
+        self.dres1_1 = ConvBNRelu3D(bc, **kw)
+        self.dres2 = ConvBNRelu3D(bc + 1, **kw)
+        self.key_layer = ConvBNRelu3D(bc // 2, **kw)
+        self.value_layer = ConvBNRelu3D(bc // 2, act="tanh", **kw)
+        self.stereo_head0 = StereoHead(bc // 2, **kw)
+        self.stereo_head1 = StereoHead(bc // 2, **kw)
+        if self.est_transformer:
+            self.est = EpipolarTransformer(bc // 2, dtype=self.dtype)
+
+    def _semantic_unet(self, feats: List[jnp.ndarray], train: bool):
+        """Scales 4->2 of the monodepth2-style U-Net (decoder :163-184).
+
+        Returns semantic_vs [BN, H, W, ndepths] at 1/4 resolution.
+        """
+        x = self.upconv_4_0(feats[4], train)
+        x = jnp.concatenate([upsample_nearest(x), feats[3]], axis=-1)
+        x = self.upconv_4_1(x, train)
+
+        x = self.upconv_3_0(x, train)
+        x = jnp.concatenate([upsample_nearest(x), feats[2]], axis=-1)
+        x = self.upconv_3_1(x, train)
+
+        x = self.upconv_2_0(x, train)
+        x = jnp.concatenate([upsample_nearest(x), feats[1]], axis=-1)
+        return self.upconv_2_1(x, train)
+
+    def _est_fusion(
+        self,
+        key: jnp.ndarray,       # [B, num, D, H, W, C]
+        value: jnp.ndarray,     # [B, num, D, H, W, C]
+        target_poses: jnp.ndarray,  # [B, num, 4, 4]
+        cam_intr: jnp.ndarray,      # [B, 3, 3]
+        depth_values: jnp.ndarray,  # [B, D]
+        depth_min: float,
+        depth_interval: float,
+        memory: Optional[ESTMemory],
+    ) -> jnp.ndarray:
+        """Warp every neighbor (in-window + memory) into each target frustum
+        and fuse with the EST transformer. Returns fused values
+        [B, num, D, H, W, C].
+
+        Mirrors the double loop at hybrid_depth_decoder.py:229-253, batched:
+        rel_pose = pose_j @ inv(pose_i) (:235), warp keys and values (:237-243),
+        attention+GRU fusion (:248-251).
+        """
+        b, num, d, h, w, c = key.shape
+
+        if memory is not None and memory.size > 0:
+            all_keys = jnp.concatenate([key, memory.keys.astype(key.dtype)], 1)
+            all_vals = jnp.concatenate([value, memory.values.astype(value.dtype)], 1)
+            all_poses = jnp.concatenate([target_poses, memory.poses], 1)
+            window_valid = jnp.ones((b, num), jnp.bool_)
+            all_valid = jnp.concatenate([window_valid, memory.valid], 1)
+        else:
+            all_keys, all_vals, all_poses = key, value, target_poses
+            all_valid = jnp.ones((b, num), jnp.bool_)
+
+        s = all_keys.shape[1]
+        nn_per_target = s - 1
+        pairs = [(i, j) for i in range(num) for j in range(s) if j != i]
+        if not pairs:
+            # single target, no memory: zero-h GRU fallback
+            # (epipolar_transformer.py:78-79)
+            fused = self.est(
+                key.reshape(b * num, d, h, w, c),
+                value.reshape(b * num, d, h, w, c),
+            )
+            return fused.reshape(b, num, d, h, w, c)
+        idx_i = jnp.array([p[0] for p in pairs])  # target index
+        idx_j = jnp.array([p[1] for p in pairs])  # neighbor index
+        p = len(pairs)
+
+        nb_keys = jnp.take(all_keys, idx_j, axis=1)      # [B, P, D, H, W, C]
+        nb_vals = jnp.take(all_vals, idx_j, axis=1)
+        nb_valid = jnp.take(all_valid, idx_j, axis=1)    # [B, P]
+        nb_poses = jnp.take(all_poses, idx_j, axis=1)    # [B, P, 4, 4]
+        ref_poses = jnp.take(target_poses, idx_i, axis=1)
+
+        rel = jnp.einsum(
+            "bpij,bpjk->bpik", nb_poses, jnp.linalg.inv(ref_poses),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # fold pairs into batch for one big warp
+        def fold(x):
+            return x.reshape((b * p,) + x.shape[2:])
+
+        k_rep = jnp.tile(cam_intr[:, None], (1, p, 1, 1))
+        dv_rep = jnp.tile(depth_values[:, None], (1, p, 1))
+        kv = jnp.concatenate([nb_keys, nb_vals], axis=-1)  # warp both in one pass
+        warped = frustum_warp(
+            fold(kv), fold(rel), fold(k_rep), fold(dv_rep),
+            depth_min, depth_interval,
+        )
+        warped = warped.reshape(b, num, nn_per_target, d, h, w, 2 * c)
+        # neighbor-leading, targets folded into batch: [Nn, B*num, D, H, W, C]
+        warped = jnp.moveaxis(warped, 2, 0).reshape(
+            nn_per_target, b * num, d, h, w, 2 * c
+        )
+        warped_k, warped_v = warped[..., :c], warped[..., c:]
+        valid = jnp.moveaxis(
+            nb_valid.reshape(b, num, nn_per_target), 2, 0
+        ).reshape(nn_per_target, b * num)
+
+        fused = self.est(
+            key.reshape(b * num, d, h, w, c),
+            value.reshape(b * num, d, h, w, c),
+            warped_k,
+            warped_v,
+            valid,
+        )
+        return fused.reshape(b, num, d, h, w, c)
+
+    def __call__(
+        self,
+        cost_volumes: jnp.ndarray,            # [B, num, D, H, W, 32]
+        semantic_features: List[jnp.ndarray],  # 5 maps, [B*num, h, w, c]
+        target_poses: jnp.ndarray,             # [B, num, 4, 4]
+        cam_intr: jnp.ndarray,                 # [B, 3, 3] at 1/4 res
+        depth_values: jnp.ndarray,             # [B, D]
+        depth_min: float,
+        depth_interval: float,
+        memory: Optional[ESTMemory] = None,
+        use_est: bool = True,
+        train: bool = False,
+    ):
+        b, num, d, h, w, _ = cost_volumes.shape
+        bn = b * num
+        use_est = use_est and self.est_transformer
+
+        semantic_vs = self._semantic_unet(semantic_features, train)  # [BN,H,W,nd]
+
+        mx = self.dres0_0(cost_volumes.reshape(bn, d, h, w, -1), train)
+        mx = self.dres0_1(mx, train)
+        mx = self.dres1_0(mx, train)
+        mx = self.dres1_1(mx, train)
+
+        # reinterpret semantic channels as the depth axis and fuse (decoder :195)
+        sem_vol = jnp.moveaxis(semantic_vs, -1, 1)[..., None]  # [BN, D, H, W, 1]
+        x3 = jnp.concatenate([sem_vol.astype(mx.dtype), mx], axis=-1)
+        x3 = self.dres2(x3, train)
+
+        value = self.value_layer(x3, train)  # [BN, D, H, W, 16] tanh
+        key = self.key_layer(x3, train)      # relu
+
+        dv_bn = jnp.repeat(depth_values, num, axis=0)  # [BN, D]
+
+        init_logits = self.stereo_head0(value, train)  # [BN, D, H, W]
+        depth3, prob3 = softargmin_depth(init_logits, dv_bn)
+
+        key_w = key.reshape(b, num, d, h, w, -1)
+        value_w = value.reshape(b, num, d, h, w, -1)
+
+        if self.est_transformer and not use_est and self.is_initializing():
+            # Materialize EST params even when this init trace skips the EST
+            # path, so any checkpoint/init covers every specialization.
+            self.est(key_w[:, 0], value_w[:, 0])
+
+        if use_est:
+            fused = self._est_fusion(
+                key_w, value_w, target_poses, cam_intr, depth_values,
+                depth_min, depth_interval, memory,
+            )  # [B, num, D, H, W, C]
+            fused_logits = self.stereo_head1(
+                fused.reshape(bn, d, h, w, -1), train
+            )
+            state_value = fused[:, -1]
+        else:
+            fused_logits = self.stereo_head1(value, train)
+            state_value = value_w[:, -1]
+
+        depth2, prob2 = softargmin_depth(fused_logits, dv_bn)
+
+        # 2D refinement (decoder :264-290): logits' plane axis becomes channels
+        fl2d = jnp.moveaxis(fused_logits, 1, -1).astype(semantic_vs.dtype)
+        x = self.upconv_1_0(
+            jnp.concatenate([semantic_vs, nn.relu(fl2d)], axis=-1), train
+        )
+        x = jnp.concatenate([upsample_nearest(x), semantic_features[0]], axis=-1)
+        x = self.upconv_1_1(x, train)
+        depth1 = self.depth_max * nn.sigmoid(
+            self.dispconv_1(x).astype(jnp.float32)
+        )  # [BN, 2H, 2W, 1]
+
+        x = self.upconv_0_0(x, train)
+        x = upsample_nearest(x)
+        x = self.upconv_0_1(x, train)
+        depth0 = self.depth_max * nn.sigmoid(
+            self.dispconv_0(x).astype(jnp.float32)
+        )  # [BN, 4H, 4W, 1]
+
+        def full(x2d, factor):  # [BN, h', w'] or [BN,h',w',1] -> [B, num, 4H, 4W]
+            if x2d.ndim == 4:
+                x2d = x2d[..., 0]
+            if factor > 1:
+                x2d = upsample_nearest(x2d[..., None], factor)[..., 0]
+            return x2d.reshape(b, num, 4 * h, 4 * w)
+
+        outputs: Dict[str, jnp.ndarray] = {
+            # [B, num, scales=4, 4H, 4W]; scale s matches ("depth", i, s)
+            "depth": jnp.stack(
+                [full(depth0, 1), full(depth1, 2), full(depth2, 4), full(depth3, 4)],
+                axis=2,
+            ),
+            "init_prob": full(prob3, 4),
+            "fused_prob": full(prob2, 4),
+        }
+
+        # streaming state: detached key (pre-fusion) + value (fused when EST
+        # ran) of the LAST target (decoder :215-216,253-254,292)
+        new_key = jax.lax.stop_gradient(key_w[:, -1])
+        new_value = jax.lax.stop_gradient(state_value)
+        new_pose = target_poses[:, -1]
+        return outputs, new_key, new_value, new_pose

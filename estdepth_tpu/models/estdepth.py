@@ -1,0 +1,187 @@
+"""DepthNetHybrid: the flagship hybrid MVS depth network.
+
+Behavioral equivalent of DepthNetHybrid
+(/root/reference/hybrid_models/model_hybrid.py:14-184): given V >= 3 frames
+with poses and intrinsics, predicts full-resolution depth for the V-2 middle
+("target") frames at 4 scales, optionally fusing an ESTMemory of past
+key/value cost volumes (streaming / ESTM mode).
+
+TPU-native design points:
+  * the per-target cost-volume loop (model_hybrid.py:152-164) is batched:
+    all (target, left/right-neighbor) plane-sweep warps run as one folded
+    plane_sweep_warp call and one folded conv stack;
+  * losses/metrics are NOT computed inside the model (pure forward);
+    see estdepth_tpu/train/loss.py and eval/metrics.py;
+  * all shapes static given (B, V, memory_size) — each inference mode is a
+    single jit specialization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from estdepth_tpu.models.decoder import DepthHybridDecoder
+from estdepth_tpu.models.layers import ConvBN
+from estdepth_tpu.models.memory import ESTMemory
+from estdepth_tpu.models.psm import PSMFeatureNet
+from estdepth_tpu.models.resnet import ResNetEncoder
+from estdepth_tpu.ops.geometry import camera_projection, scale_intrinsics
+from estdepth_tpu.ops.warp import plane_sweep_warp
+
+
+class DepthNetHybrid(nn.Module):
+    ndepths: int = 64
+    depth_min: float = 0.01
+    depth_max: float = 10.0
+    resnet: int = 50
+    est_transformer: bool = True
+    bn_axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def depth_interval(self) -> float:
+        return (self.depth_max - self.depth_min) / (self.ndepths - 1)
+
+    def depth_candidates(self, batch: int) -> jnp.ndarray:
+        """[B, D] uniform depth hypotheses (model_hybrid.py:29-33)."""
+        cands = (
+            jnp.arange(self.ndepths, dtype=jnp.float32) * self.depth_interval
+            + self.depth_min
+        )
+        return jnp.tile(cands[None], (batch, 1))
+
+    def setup(self):
+        kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
+        self.matching_feature = PSMFeatureNet(**kw)
+        self.semantic_feature = ResNetEncoder(self.resnet, **kw)
+        self.decoder = DepthHybridDecoder(
+            ndepths=self.ndepths,
+            depth_max=self.depth_max,
+            est_transformer=self.est_transformer,
+            **kw,
+        )
+        # cost-volume pair aggregation (model_hybrid.py:58-60)
+        self.pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, **kw)
+        self.pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", **kw)
+        self.pre2 = ConvBN(32, (3, 3, 3), 1, zero_bn_scale=True, **kw)
+
+    def _cost_volumes(
+        self,
+        feats: jnp.ndarray,        # [B, V, H, W, 32] stride-4 matching feats
+        cam_poses: jnp.ndarray,    # [B, V, 4, 4]
+        cam_intr_s1: jnp.ndarray,  # [B, 3, 3] at 1/4 res
+        depth_values: jnp.ndarray,  # [B, D]
+        train: bool,
+    ) -> jnp.ndarray:
+        """Batched equivalent of get_costvolume over all targets
+        (model_hybrid.py:62-102,152-164).
+
+        For each target t in 1..V-2 and each neighbor in {t-1, t+1}:
+        plane-sweep warp the neighbor features, concat [ref, warped], run the
+        pre0 + residual(pre2 . pre1) stack, then average the two neighbor
+        contributions. Returns [B, T, D, H, W, 32].
+        """
+        b, v, h, w, c = feats.shape
+        t = v - 2
+        d = depth_values.shape[1]
+
+        proj = camera_projection(
+            jnp.tile(cam_intr_s1[:, None], (1, v, 1, 1)).reshape(b * v, 3, 3),
+            cam_poses.reshape(b * v, 4, 4),
+        ).reshape(b, v, 4, 4)
+
+        ref_feats = feats[:, 1 : 1 + t]      # [B, T, H, W, C]
+        ref_proj = proj[:, 1 : 1 + t]
+        # neighbor pairs: left = t-1, right = t+1; pair axis leads the fold
+        src_feats = jnp.stack([feats[:, 0:t], feats[:, 2 : 2 + t]], axis=0)
+        src_proj = jnp.stack([proj[:, 0:t], proj[:, 2 : 2 + t]], axis=0)
+        bp = 2 * b * t
+        src_feats = src_feats.reshape(bp, h, w, c)
+        src_proj = src_proj.reshape(bp, 4, 4)
+        ref_proj2 = jnp.broadcast_to(ref_proj[None], (2, b, t, 4, 4)).reshape(
+            bp, 4, 4
+        )
+        dv2 = jnp.broadcast_to(depth_values[None, :, None], (2, b, t, d)).reshape(
+            bp, d
+        )
+
+        warped = plane_sweep_warp(src_feats, src_proj, ref_proj2, dv2)
+        # ref volume expanded over planes (model_hybrid.py:76)
+        ref_vol = jnp.broadcast_to(
+            ref_feats[None, :, :, None], (2, b, t, d, h, w, c)
+        ).reshape(bp, d, h, w, c)
+
+        x = jnp.concatenate([ref_vol, warped], axis=-1)  # 64ch
+        x = self.pre0(x, train)
+        x = x + self.pre2(self.pre1(x, train), train)
+        # mean over the 2 neighbors (model_hybrid.py:97-99)
+        x = x.reshape(2, b, t, d, h, w, -1).mean(axis=0)
+        return x
+
+    def __call__(
+        self,
+        imgs: jnp.ndarray,        # [B, V, H, W, 3] float in [0, 255]
+        cam_poses: jnp.ndarray,   # [B, V, 4, 4] cam-to-world
+        cam_intr: jnp.ndarray,    # [B, 3, 3] at full res
+        memory: Optional[ESTMemory] = None,
+        use_est: Optional[bool] = None,
+        train: bool = False,
+    ) -> Tuple[Dict[str, jnp.ndarray], ESTMemory]:
+        """Forward pass.
+
+        Returns (outputs, state) where outputs holds:
+          "depth":      [B, T, 4, H, W]  (scale s at index s)
+          "init_prob":  [B, T, H, W]
+          "fused_prob": [B, T, H, W]
+        and state = (key, value, pose) of the last target for ESTM memory
+        (push with ESTMemory.push).
+
+        `use_est` defaults to the reference's flag logic
+        (hybrid_depth_decoder.py:423): EST fusion runs when training or when
+        a memory is provided.
+        """
+        b, v, h_img, w_img, _ = imgs.shape
+        assert v > 2, "need at least 3 views (model_hybrid.py:123)"
+        t = v - 2
+        h, w = h_img // 4, w_img // 4
+
+        if use_est is None:
+            use_est = self.est_transformer and (train or memory is not None)
+
+        imgs = 2.0 * (imgs / 255.0) - 1.0  # (model_hybrid.py:119)
+        if self.dtype is not None:
+            imgs = imgs.astype(self.dtype)
+
+        matching = self.matching_feature(
+            imgs.reshape(b * v, h_img, w_img, 3), train
+        ).reshape(b, v, h, w, -1)
+
+        semantic = self.semantic_feature(
+            imgs[:, 1 : 1 + t].reshape(b * t, h_img, w_img, 3), train
+        )  # list of 5 maps [B*T, ...]
+
+        cam_intr_s1 = scale_intrinsics(cam_intr, 0.25)
+        depth_values = self.depth_candidates(b)
+
+        cost_volumes = self._cost_volumes(
+            matching, cam_poses, cam_intr_s1, depth_values, train
+        )
+        target_poses = cam_poses[:, 1 : 1 + t]
+
+        outputs, new_key, new_value, new_pose = self.decoder(
+            cost_volumes,
+            semantic,
+            target_poses,
+            cam_intr_s1,
+            depth_values,
+            self.depth_min,
+            self.depth_interval,
+            memory=memory,
+            use_est=use_est,
+            train=train,
+        )
+        return outputs, (new_key, new_value, new_pose)

@@ -1,0 +1,3 @@
+from estdepth_tpu.parallel.mesh import create_mesh, shard_batch
+
+__all__ = ["create_mesh", "shard_batch"]

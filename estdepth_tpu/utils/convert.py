@@ -1,0 +1,223 @@
+"""PyTorch checkpoint -> estdepth_tpu variables converter.
+
+One-time converter for the reference's released DepthNetHybrid checkpoints
+(torch.save({'epoch','model','optimizer'}), /root/reference/train_hybrid.py:
+137-151), enabling parity evaluation (SURVEY.md §6).
+
+Name mapping (torch module tree, from the reference sources):
+  matchingFeature.*      (networks/psm_submodule.py) -> params.matching_feature
+  semanticFeature.encoder.* (torchvision resnet)     -> params.semantic_feature
+  CostRegNet.*           (hybrid_depth_decoder.py)   -> params.decoder
+  pre0/pre1/pre2         (model_hybrid.py:58-60)     -> params.pre0/1/2
+
+Layout: Conv2d [O,I,kh,kw] -> [kh,kw,I,O]; Conv3d [O,I,kd,kh,kw] ->
+[kd,kh,kw,I,O]; BatchNorm weight/bias/running_mean/running_var ->
+scale/bias + batch_stats mean/var; GroupNorm weight/bias -> scale/bias.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    if w.ndim == 4:  # Conv2d
+        return np.transpose(w, (2, 3, 1, 0))
+    if w.ndim == 5:  # Conv3d
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    raise ValueError(f"unexpected conv weight rank {w.ndim}")
+
+
+def _put(tree: Dict, path: Tuple[str, ...], value: np.ndarray):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+# --- per-subtree torch-name -> our-path rules ------------------------------
+
+def _map_psm(key: str):
+    """matchingFeature.* (psm_submodule.py:40-116).
+
+    torch names:
+      firstconv.{0,2,4}.{0,1}.*          -> firstconv_{0,1,2}.{conv,bn}
+      layer{L}.{i}.conv1.0.{0,1}.*       -> layer{L}_{i}.conv1.{conv,bn}
+      layer{L}.{i}.conv2.{0,1}.*         -> layer{L}_{i}.conv2.{conv,bn}
+      layer{L}.{i}.downsample.{0,1}.*    -> layer{L}_{i}.downsample.{conv,bn}
+      branch{B}.1.{0,1}.*                -> branch{B}.{conv,bn}
+      lastconv.0.{0,1}.*                 -> lastconv_0.{conv,bn}
+      lastconv.2.weight                  -> lastconv_1 (plain conv)
+    """
+    m = re.match(r"firstconv\.(\d+)\.(\d+)\.(.+)", key)
+    if m:
+        seq, sub, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return (f"firstconv_{seq // 2}", "conv" if sub == 0 else "bn", rest)
+    m = re.match(r"layer(\d+)\.(\d+)\.conv1\.0\.(\d+)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "conv1",
+                "conv" if int(m.group(3)) == 0 else "bn", m.group(4))
+    m = re.match(r"layer(\d+)\.(\d+)\.conv2\.(\d+)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "conv2",
+                "conv" if int(m.group(3)) == 0 else "bn", m.group(4))
+    m = re.match(r"layer(\d+)\.(\d+)\.downsample\.(\d+)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "downsample",
+                "conv" if int(m.group(3)) == 0 else "bn", m.group(4))
+    m = re.match(r"branch(\d+)\.1\.(\d+)\.(.+)", key)
+    if m:
+        return (f"branch{m.group(1)}",
+                "conv" if int(m.group(2)) == 0 else "bn", m.group(3))
+    m = re.match(r"lastconv\.0\.(\d+)\.(.+)", key)
+    if m:
+        return ("lastconv_0", "conv" if int(m.group(1)) == 0 else "bn",
+                m.group(2))
+    m = re.match(r"lastconv\.2\.(.+)", key)
+    if m:
+        return ("lastconv_1", m.group(1))
+    return None
+
+
+def _map_resnet(key: str):
+    """semanticFeature.encoder.* (torchvision resnet layout)."""
+    m = re.match(r"conv1\.(.+)", key)
+    if m:
+        return ("conv1", "conv", m.group(1))
+    m = re.match(r"bn1\.(.+)", key)
+    if m:
+        return ("conv1", "bn", m.group(1))
+    m = re.match(r"layer(\d+)\.(\d+)\.conv(\d)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}",
+                "conv", m.group(4))
+    m = re.match(r"layer(\d+)\.(\d+)\.bn(\d)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", f"conv{m.group(3)}",
+                "bn", m.group(4))
+    m = re.match(r"layer(\d+)\.(\d+)\.downsample\.(\d+)\.(.+)", key)
+    if m:
+        return (f"layer{m.group(1)}_{m.group(2)}", "downsample",
+                "conv" if int(m.group(3)) == 0 else "bn", m.group(4))
+    if key.startswith("fc."):
+        return "skip"  # classification head unused (resnet_encoder.py:40-51)
+    return None
+
+
+def _map_decoder(key: str):
+    """CostRegNet.* (hybrid_depth_decoder.py:41-112)."""
+    m = re.match(r"(upconv_\d_\d)\.conv\.(\d+)\.(.+)", key)
+    if m:
+        return (m.group(1), "conv", "conv" if int(m.group(2)) == 0 else "bn",
+                m.group(3))
+    m = re.match(r"(dispconv_[01])\.(.+)", key)
+    if m:
+        return (m.group(1), m.group(2))
+    m = re.match(r"dres([01])\.(\d+)\.(\d+)\.(.+)", key)
+    if m:
+        return (f"dres{m.group(1)}_{m.group(2)}", "conv",
+                "conv" if int(m.group(3)) == 0 else "bn", m.group(4))
+    m = re.match(r"dres2\.0\.(\d+)\.(.+)", key)
+    if m:
+        return ("dres2", "conv", "conv" if int(m.group(1)) == 0 else "bn",
+                m.group(2))
+    m = re.match(r"(key_layer|value_layer)\.0\.(\d+)\.(.+)", key)
+    if m:
+        return (m.group(1), "conv",
+                "conv" if int(m.group(2)) == 0 else "bn", m.group(3))
+    m = re.match(r"(stereo_head[01])\.0\.(\d+)\.(.+)", key)
+    if m:
+        return (m.group(1), "conv0", "conv",
+                m.group(3)) if int(m.group(2)) == 0 else (
+            m.group(1), "conv0", "bn", m.group(3))
+    m = re.match(r"(stereo_head[01])\.1\.(.+)", key)
+    if m:
+        return (m.group(1), "out", m.group(2))
+    m = re.match(
+        r"epipolar_transformer\.(gate_conv|output_conv|reset_gate_norm"
+        r"|update_gate_norm|output_norm)\.(.+)",
+        key,
+    )
+    if m:
+        return ("est", m.group(1), m.group(2))
+    return None
+
+
+def _map_pre(key: str):
+    m = re.match(r"(pre[012])\.(\d+)\.(.+)", key)
+    if m:
+        return (m.group(1), "conv" if int(m.group(2)) == 0 else "bn",
+                m.group(3))
+    return None
+
+
+def convert_state_dict(state_dict: Dict[str, "np.ndarray"], strict: bool = True):
+    """torch state_dict (tensor or ndarray values) -> {'params', 'batch_stats'}.
+
+    Handles the 'module.' DDP prefix (train_hybrid.py:363-368).
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+    unmatched = []
+
+    for key, value in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        k = key[len("module."):] if key.startswith("module.") else key
+
+        if k.startswith("matchingFeature."):
+            root, mapped = "matching_feature", _map_psm(
+                k[len("matchingFeature."):]
+            )
+        elif k.startswith("semanticFeature.encoder."):
+            root, mapped = "semantic_feature", _map_resnet(
+                k[len("semanticFeature.encoder."):]
+            )
+        elif k.startswith("CostRegNet."):
+            root, mapped = "decoder", _map_decoder(k[len("CostRegNet."):])
+        elif k.startswith("pre"):
+            root, mapped = None, _map_pre(k)
+        else:
+            root, mapped = None, None
+
+        if mapped == "skip":
+            continue
+        if mapped is None:
+            unmatched.append(key)
+            continue
+
+        path = ((root,) if root else ()) + tuple(mapped[:-1])
+        leaf = mapped[-1]
+        if leaf == "weight":
+            if arr.ndim >= 4:  # conv
+                _put(params, path + ("kernel",), _conv_kernel(arr))
+            else:  # norm scale
+                _put(params, path + ("scale",), arr)
+        elif leaf == "bias":
+            _put(params, path + ("bias",), arr)
+        elif leaf == "running_mean":
+            _put(batch_stats, path + ("mean",), arr)
+        elif leaf == "running_var":
+            _put(batch_stats, path + ("var",), arr)
+        else:
+            unmatched.append(key)
+
+    if unmatched and strict:
+        raise KeyError(f"unmatched torch keys ({len(unmatched)}): "
+                       f"{unmatched[:10]} ...")
+    return {"params": params, "batch_stats": batch_stats}, unmatched
+
+
+def load_torch_checkpoint(path: str, strict: bool = True):
+    """Load a reference .ckpt file and convert (requires torch)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = blob.get("model", blob) if isinstance(blob, dict) else blob
+    return convert_state_dict(state_dict, strict=strict)

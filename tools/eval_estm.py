@@ -1,0 +1,202 @@
+#!/usr/bin/env python
+"""ESTM streaming evaluation (the latency-critical path).
+
+TPU-native equivalent of /root/reference/eval_hybrid_seq.py: per scene,
+stream frames one at a time through a local window (lwindow=3) with a FIFO
+memory of 2 detached key/value cost volumes; dump per-frame depth (.npy +
+colorized .jpg), report mean inference time and offline metrics.
+
+Usage:
+  python tools/eval_estm.py --synthetic                       # hermetic
+  python tools/eval_estm.py --datapath /data/scannet_test \
+      --testlist data/splits/test_split.txt --outdir out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--datapath", type=str, default=None)
+    p.add_argument("--testlist", type=str, default=None)
+    p.add_argument("--eval-dataset", choices=["scannet", "7scenes"],
+                   default="scannet")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--outdir", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--ndepths", type=int, default=64)
+    p.add_argument("--depth-min", type=float, default=0.01)
+    p.add_argument("--depth-max", type=float, default=10.0)
+    p.add_argument("--resnet", type=int, default=50)
+    p.add_argument("--lwindow", type=int, default=3)
+    p.add_argument("--memory-size", type=int, default=2)
+    p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--save-maps", action="store_true")
+    return p.parse_args()
+
+
+def build_model_and_params(args):
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.models import DepthNetHybrid
+
+    model = DepthNetHybrid(
+        ndepths=args.ndepths, depth_min=args.depth_min,
+        depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, size=(1, args.lwindow, args.height, args.width, 3))
+        .astype(np.float32)
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, None],
+                    (1, args.lwindow, 1, 1))
+    intr = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 100.0)
+    variables = model.init(
+        jax.random.key(0), imgs, jnp.asarray(poses), intr, train=False
+    )
+    if args.ckpt:
+        from estdepth_tpu.utils.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.ckpt)
+        state = ckpt.restore(
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
+        ) if False else None
+        # restore full TrainState if present
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt))
+        step = mgr.latest_step()
+        restored = mgr.restore(step)
+        variables = {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
+        }
+        print(f"restored checkpoint step {step} from {args.ckpt}")
+    return model, variables
+
+
+def score(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray):
+    """Resize pred to GT resolution and compute the offline metric suite."""
+    import cv2
+
+    from estdepth_tpu.eval.metric_offline import compute_errors
+
+    pred_up = cv2.resize(pred, (gt.shape[1], gt.shape[0]))
+    gt = np.where(mask, gt, 0.0)
+    return compute_errors(pred_up, gt)
+
+
+def run_scene(runner, frames, args, outdir=None, scene=""):
+    from estdepth_tpu.utils.viz import colorize_depth, save_image
+
+    runner.reset()
+    times, errs = [], []
+    emitted = 0
+    for idx, f in enumerate(frames):
+        t0 = time.perf_counter()
+        depth = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        if depth is not None:
+            depth.block_until_ready()
+            times.append(time.perf_counter() - t0)
+            refined = np.asarray(depth[0, 0])  # scale-0 (refined) map
+            init = np.asarray(depth[0, 2])     # scale-2 (fused head) map
+            if f.get("dmap") is not None:
+                errs.append(score(refined, f["dmap"], f["dmask"]))
+            if outdir and args.save_maps:
+                base = os.path.join(outdir, f"{scene}_{idx:06d}")
+                np.save(base + "_depth.npy", refined.astype(np.float16))
+                np.save(base + "_init.npy", init.astype(np.float16))
+                save_image(base + "_depth.jpg",
+                           colorize_depth(refined, args.depth_min,
+                                          args.depth_max))
+            emitted += 1
+        if args.max_frames and emitted >= args.max_frames:
+            break
+    return times, errs
+
+
+def main():
+    args = parse_args()
+
+    from estdepth_tpu.eval.estm import ESTMRunner
+
+    model, variables = build_model_and_params(args)
+    runner = ESTMRunner(
+        model, variables, args.height, args.width, args.lwindow,
+        args.memory_size,
+    )
+    if args.outdir:
+        os.makedirs(args.outdir, exist_ok=True)
+
+    all_times, all_errs = [], []
+    if args.synthetic:
+        from estdepth_tpu.data.synthetic import (
+            SyntheticSceneConfig, synthetic_stream,
+        )
+
+        for seed in range(2):
+            cfg = SyntheticSceneConfig(
+                height=args.height, width=args.width, seed=seed
+            )
+            frames = list(synthetic_stream(cfg, n_frames=12))
+            times, errs = run_scene(runner, frames, args, args.outdir,
+                                    f"synthetic{seed}")
+            all_times += times
+            all_errs += errs
+    else:
+        from estdepth_tpu.data.eval_stream import StreamEvalDataset
+        from estdepth_tpu.data.eval_windows import SEVEN_SCENES_TEST_SEQS
+        from estdepth_tpu.data.io_utils import read_split_file
+
+        assert args.datapath
+        ds = StreamEvalDataset(
+            args.datapath, args.height, args.width,
+            depth_min=args.depth_min, depth_max=min(args.depth_max, 5.0),
+            frame_interval=args.frame_interval,
+            scannet_layout=args.eval_dataset == "scannet",
+        )
+        if args.eval_dataset == "scannet":
+            scenes = read_split_file(args.testlist) if args.testlist else (
+                sorted(os.listdir(args.datapath)))
+            scene_seqs = [(s, None) for s in scenes]
+        else:
+            scene_seqs = SEVEN_SCENES_TEST_SEQS
+        for scene, seq in scene_seqs:
+            ds.reset(scene, seq)
+            name = scene if seq is None else f"{scene}_{seq}"
+            times, errs = run_scene(runner, iter(ds), args, args.outdir, name)
+            all_times += times
+            all_errs += errs
+            print(f"{name}: {len(times)} frames")
+
+    if all_times:
+        # skip the first few (compile) when reporting, like steady-state fps
+        steady = all_times[4:] or all_times
+        print(f"inference time: {np.mean(steady):.4f}s "
+              f"({1.0/np.mean(steady):.2f} fps)")
+    if all_errs:
+        keys = ["abs_relative", "sq_relative", "rmse", "rmse_log",
+                "ratio_threshold_1.25"]
+        means = {k: float(np.mean([e[k] for e in all_errs])) for k in keys}
+        print("metrics:", " ".join(f"{k}={v:.4f}" for k, v in means.items()))
+
+
+if __name__ == "__main__":
+    main()

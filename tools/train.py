@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Train DepthNetHybrid (data-parallel over all local devices).
+
+TPU-native equivalent of /root/reference/train_hybrid.py: same optimization
+recipe (Adam 4e-5 + L2 4e-4, warmup-multistep LR, staged grad clip 10->1 at
+epoch 3, sync-BN across the data mesh), driven by one jitted shard_map step.
+
+Usage:
+  python tools/train.py --synthetic --steps 20          # hermetic smoke run
+  python tools/train.py --datapath /data/scannet --split data/splits/train_split.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--datapath", type=str, default=None)
+    p.add_argument("--split", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on generated synthetic scenes (hermetic)")
+    p.add_argument("--logdir", type=str, default="./logs")
+    p.add_argument("--epochs", type=int, default=7)
+    p.add_argument("--steps", type=int, default=None,
+                   help="cap total steps (smoke runs)")
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--wd", type=float, default=4e-4)
+    p.add_argument("--lrepochs", type=str, default="2,4,6:2",
+                   help="milestones:decay-divisor (train_hybrid.py:80-82)")
+    p.add_argument("--batch-per-device", type=int, default=1)
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--n-frames", type=int, default=5)
+    p.add_argument("--ndepths", type=int, default=64)
+    p.add_argument("--depth-min", type=float, default=0.01)
+    p.add_argument("--depth-max", type=float, default=10.0)
+    p.add_argument("--resnet", type=int, default=50)
+    p.add_argument("--no-est", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--summary-freq", type=int, default=10)
+    p.add_argument("--ckpt-steps", type=int, default=5000)
+    p.add_argument("--num-workers", type=int, default=4)
+    return p.parse_args()
+
+
+class SyntheticTrainDataset:
+    """Map-style wrapper over synthetic_window with varied scenes."""
+
+    def __init__(self, n, height, width, n_frames, depth_min, depth_max):
+        from estdepth_tpu.data.synthetic import SyntheticSceneConfig
+
+        self.cfgs = [
+            SyntheticSceneConfig(height=height, width=width, seed=i)
+            for i in range(max(n // 4, 1))
+        ]
+        self.n = n
+        self.n_frames = n_frames
+        self.depth_min = depth_min
+        self.depth_max = depth_max
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        from estdepth_tpu.data.synthetic import synthetic_window
+
+        w = synthetic_window(
+            self.cfgs[i % len(self.cfgs)], n_frames=self.n_frames,
+            start_frame=i % 7, depth_min=self.depth_min,
+            depth_max=self.depth_max,
+        )
+        return {k: v[0] for k, v in w.items()}  # unbatch
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.data.pipeline import TrainLoader, prefetch_to_device
+    from estdepth_tpu.models import DepthNetHybrid
+    from estdepth_tpu.parallel.mesh import create_mesh, replicate
+    from estdepth_tpu.train.schedule import warmup_multistep_schedule
+    from estdepth_tpu.train.trainer import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    from estdepth_tpu.utils.checkpoint import CheckpointManager
+    from estdepth_tpu.utils.logging import DictAverageMeter, ScalarLogger
+
+    n_dev = len(jax.devices())
+    mesh = create_mesh()
+    global_batch = args.batch_per_device * n_dev
+    print(f"devices={n_dev} global_batch={global_batch}")
+
+    if args.synthetic:
+        dataset = SyntheticTrainDataset(
+            256, args.height, args.width, args.n_frames,
+            args.depth_min, args.depth_max,
+        )
+    else:
+        from estdepth_tpu.data.scannet import ScanNetTrainDataset
+
+        assert args.datapath, "--datapath or --synthetic required"
+        dataset = ScanNetTrainDataset(
+            args.datapath, args.split, args.height, args.width,
+            args.n_frames, depth_min=max(args.depth_min, 0.1),
+            depth_max=args.depth_max,
+        )
+    loader = TrainLoader(
+        dataset, global_batch,
+        shard_index=jax.process_index(), num_shards=jax.process_count(),
+        num_workers=args.num_workers, seed=args.seed,
+    )
+    steps_per_epoch = max(loader.steps_per_epoch(), 1)
+    print(f"dataset={len(dataset)} steps/epoch={steps_per_epoch}")
+
+    milestones, decay = args.lrepochs.split(":")
+    milestones = [int(m) for m in milestones.split(",")]
+    sched = warmup_multistep_schedule(
+        args.lr, steps_per_epoch, milestones, 1.0 / float(decay),
+    )
+    tx = make_optimizer(sched, args.wd)
+
+    model = DepthNetHybrid(
+        ndepths=args.ndepths, depth_min=args.depth_min,
+        depth_max=args.depth_max, resnet=args.resnet,
+        est_transformer=not args.no_est, bn_axis_name="data",
+    )
+
+    example = next(iter(loader.epoch(0)))
+    local = jax.tree.map(lambda x: jnp.asarray(x[:1]), example)
+    state = create_train_state(model, jax.random.key(args.seed), local, tx)
+    n_params = sum(
+        p.size for p in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"params: {n_params/1e6:.2f}M")
+
+    ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"))
+    start_epoch = 0
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+
+    state = replicate(state, mesh)
+    step_fn = make_train_step(
+        model, tx, mesh, args.depth_min, args.depth_max,
+    )
+    logger = ScalarLogger(args.logdir) if jax.process_index() == 0 else None
+    meter = DictAverageMeter()
+
+    total_steps = 0
+    for epoch in range(start_epoch, args.epochs):
+        clip = 10.0 if epoch < 3 else 1.0  # train_hybrid.py:94-97
+        for batch in prefetch_to_device(loader.epoch(epoch), mesh):
+            t0 = time.perf_counter()
+            state, scalars = step_fn(state, batch, jnp.float32(clip))
+            step = int(state.step)
+            total_steps += 1
+            if step % args.summary_freq == 0:
+                scalars = {k: float(v) for k, v in scalars.items()}
+                meter.update(scalars)
+                dt = time.perf_counter() - t0
+                if logger:
+                    logger.log(step, scalars)
+                print(
+                    f"epoch {epoch} step {step} loss {scalars['loss']:.4f} "
+                    f"delta0 {scalars['delta_0']:.4f} "
+                    f"thred0 {scalars['thred_0']:.4f} time {dt:.3f}s"
+                )
+            if step % args.ckpt_steps == 0 and jax.process_index() == 0:
+                ckpt.save(step, jax.device_get(state))
+            if args.steps and total_steps >= args.steps:
+                break
+        if jax.process_index() == 0:
+            ckpt.save(int(state.step), jax.device_get(state))
+        if args.steps and total_steps >= args.steps:
+            break
+
+    if logger:
+        logger.close()
+    ckpt.close()
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()
