@@ -6,16 +6,21 @@ Behavioral equivalent of the eval_hybrid_seq.py driver
 volumes. Each arriving frame (once the window is full) produces the depth of
 the window's center frame.
 
-TPU-native design: the whole per-frame step is ONE jitted function with the
-ESTMemory buffers donated, so state never leaves HBM between frames
-(SURVEY.md §5.7). Two specializations exist, mirroring the reference's flag
-(hybrid_depth_decoder.py:423): the first window of a scene runs without EST
-fusion (empty memory), later windows with it.
+TPU-native design (this is the latency-critical path, SURVEY.md §3.3):
+  * the whole per-frame step is ONE jitted function with the ESTMemory
+    buffers donated, so state never leaves HBM between frames;
+  * window frames stay resident on device — each arriving frame costs one
+    256KB async host->device transfer, not a re-upload of the window (the
+    device step itself is ~0.6 ms on v5e; host traffic would dominate
+    otherwise);
+  * two jit specializations mirror the reference's flag
+    (hybrid_depth_decoder.py:423): first window of a scene without EST
+    fusion, later windows with it.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,19 +49,26 @@ class ESTMRunner:
         self.batch = batch
         self.height = height
         self.width = width
-        self._window_imgs = []
-        self._window_poses = []
+        self._window_imgs = []   # device arrays [H, W, 3]
+        self._window_poses = []  # host [4, 4]
+        self._intr_dev = None
+        self._memory_filled = False
         self.memory = self._fresh_memory()
 
-        def step(variables, imgs, poses, intr, memory, use_est):
+        def step(variables, frames, poses, intr, memory, use_est):
+            # frames: tuple of lwindow [H, W, 3] device arrays
+            imgs = jnp.stack(frames)[None]
+            if batch > 1:
+                imgs = jnp.tile(imgs, (batch, 1, 1, 1, 1))
+            poses_b = jnp.tile(poses[None], (batch, 1, 1, 1))
             outputs, (key, value, pose) = model.apply(
-                variables, imgs, poses, intr,
+                variables, imgs, poses_b, intr,
                 memory=memory if use_est else None,
                 use_est=use_est, train=False,
             )
             new_memory = memory.push(key, value, pose)
-            # center-frame refined + init depth (eval_hybrid_seq.py:200-258
-            # saves ("depth",0,0) and ("depth",0,2))
+            # center-frame depth at all 4 scales (eval_hybrid_seq.py:200-258
+            # saves ("depth",0,0) refined and ("depth",0,2) fused-head maps)
             return outputs["depth"][:, 0], new_memory
 
         self._step = jax.jit(
@@ -76,30 +88,28 @@ class ESTMRunner:
         self.memory = self._fresh_memory()
         self._memory_filled = False
 
-    _memory_filled = False
-
     def push_frame(
         self, img: np.ndarray, pose: np.ndarray, intr: np.ndarray
     ) -> Optional[jnp.ndarray]:
-        """Feed one frame; returns [B, 4, H, W] center-frame depth (4 scales,
-        scale s at index s) once the window is full, else None."""
-        self._window_imgs.append(np.asarray(img))
-        self._window_poses.append(np.asarray(pose))
+        """Feed one frame; returns [B, 4, H, W] center-frame depth (scale s
+        at index s) once the window is full, else None."""
+        # async upload of the ONE new frame; everything else is resident
+        self._window_imgs.append(jax.device_put(np.asarray(img, np.float32)))
+        self._window_poses.append(np.asarray(pose, np.float32))
         if len(self._window_imgs) < self.lwindow:
             return None
 
-        imgs = jnp.asarray(np.stack(self._window_imgs)[None])
-        poses = jnp.asarray(np.stack(self._window_poses)[None])
-        if self.batch > 1:
-            imgs = jnp.tile(imgs, (self.batch, 1, 1, 1, 1))
-            poses = jnp.tile(poses, (self.batch, 1, 1, 1))
-        intr = jnp.asarray(intr[None] if intr.ndim == 2 else intr)
-        if intr.shape[0] != self.batch:
-            intr = jnp.tile(intr[:1], (self.batch, 1, 1))
+        if self._intr_dev is None:
+            k = np.asarray(intr, np.float32)
+            k = k[None] if k.ndim == 2 else k
+            if k.shape[0] != self.batch:
+                k = np.tile(k[:1], (self.batch, 1, 1))
+            self._intr_dev = jax.device_put(k)
 
+        poses = np.stack(self._window_poses)  # [lw, 4, 4] tiny transfer
         depth, self.memory = self._step(
-            self.variables, imgs, poses, intr, self.memory,
-            use_est=self._memory_filled,
+            self.variables, tuple(self._window_imgs), poses, self._intr_dev,
+            self.memory, use_est=self._memory_filled,
         )
         self._memory_filled = True
         # slide the window by one (eval_hybrid_seq.py:190)

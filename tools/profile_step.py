@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Component-level timing of the ESTM streaming step on the accelerator.
+
+Times each stage of the flagship pipeline in isolation (jitted, steady
+state) so optimization effort goes where the milliseconds are. Also the
+anchor for `jax.profiler` traces: pass --trace <dir> to dump one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--ndepths", type=int, default=64)
+    p.add_argument("--resnet", type=int, default=50)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--trace", type=str, default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.models import DepthNetHybrid, ESTMemory
+    from estdepth_tpu.models.psm import PSMFeatureNet
+    from estdepth_tpu.models.resnet import ResNetEncoder
+    from estdepth_tpu.ops.warp import frustum_warp, plane_sweep_warp
+    from estdepth_tpu.ops.geometry import camera_projection
+
+    h, w, nd = args.height, args.width, args.ndepths
+    hq, wq = h // 4, w // 4
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    rng = np.random.default_rng(0)
+
+    model = DepthNetHybrid(
+        ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=args.resnet,
+        est_transformer=True, dtype=dtype,
+    )
+    imgs = jnp.asarray(rng.uniform(0, 255, (1, 3, h, w, 3)).astype(np.float32))
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, None], (1, 3, 1, 1))
+    for i in range(3):
+        poses[0, i, 0, 3] = 0.05 * i
+    poses = jnp.asarray(poses)
+    intr = jnp.asarray(np.array(
+        [[[288.9, 0, (w - 1) / 2], [0, 288.9, (h - 1) / 2], [0, 0, 1]]],
+        np.float32))
+    variables = model.init(jax.random.key(0), imgs, poses, intr, train=False)
+    memory = ESTMemory.create(1, 2, nd, hq, wq, 16)
+    memory = memory.replace(valid=jnp.ones_like(memory.valid))
+
+    # --- full step
+    @jax.jit
+    def full(v, i, p, k, m):
+        out, st = model.apply(v, i, p, k, memory=m, use_est=True, train=False)
+        return out["depth"]
+
+    t_full = timeit(full, variables, imgs, poses, intr, memory)
+    print(f"full ESTM step:        {1e3*t_full:8.2f} ms  ({1/t_full:.1f} fps)")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(full(variables, imgs, poses, intr, memory))
+        print(f"trace written to {args.trace}")
+
+    # --- PSM features (3 frames)
+    psm = PSMFeatureNet(dtype=dtype)
+    pv = {"params": variables["params"]["matching_feature"],
+          "batch_stats": variables["batch_stats"]["matching_feature"]}
+    x3 = jnp.asarray(rng.normal(size=(3, h, w, 3)).astype(np.float32)).astype(dtype)
+    t = timeit(jax.jit(psm.apply), pv, x3)
+    print(f"PSM features (3 imgs): {1e3*t:8.2f} ms")
+
+    # --- ResNet (1 target frame)
+    res = ResNetEncoder(args.resnet, dtype=dtype)
+    rv = {"params": variables["params"]["semantic_feature"],
+          "batch_stats": variables["batch_stats"]["semantic_feature"]}
+    x1 = x3[:1]
+    t = timeit(jax.jit(lambda v, x: res.apply(v, x)[-1]), rv, x1)
+    print(f"ResNet-{args.resnet} (1 img):    {1e3*t:8.2f} ms")
+
+    # --- plane-sweep warp (2 neighbors)
+    feat = jnp.asarray(rng.normal(size=(2, hq, wq, 32)).astype(np.float32)).astype(dtype)
+    proj = camera_projection(jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0),
+                             jnp.tile(poses[0, :2], (1, 1, 1)))
+    dv = jnp.tile(jnp.linspace(0.01, 10.0, nd)[None], (2, 1))
+    t = timeit(jax.jit(plane_sweep_warp), feat, proj, proj, dv)
+    print(f"plane-sweep x2:        {1e3*t:8.2f} ms")
+
+    # --- frustum warp (2 memory neighbors, keys+values fused = 32ch)
+    vol = jnp.asarray(rng.normal(size=(2, nd, hq, wq, 32)).astype(np.float32))
+    rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).astype(jnp.float32)
+    k2 = jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0)
+    t = timeit(
+        jax.jit(lambda v, r, k, d: frustum_warp(v, r, k, d, 0.01, 10 / 63)),
+        vol, rel, k2, dv,
+    )
+    print(f"frustum warp x2:       {1e3*t:8.2f} ms")
+
+    # --- decoder 3D conv stack proxy: dres chain on [1, D, H/4, W/4, 32]
+    from estdepth_tpu.models.decoder import ConvBNRelu3D
+
+    cv = jnp.asarray(rng.normal(size=(1, nd, hq, wq, 32)).astype(np.float32)).astype(dtype)
+    conv3 = ConvBNRelu3D(32, dtype=dtype)
+    c3v = conv3.init(jax.random.key(0), cv)
+    t = timeit(jax.jit(conv3.apply), c3v, cv)
+    print(f"one conv3d 32ch:       {1e3*t:8.2f} ms  (decoder has ~7)")
+
+
+if __name__ == "__main__":
+    main()
