@@ -43,9 +43,10 @@ def main():
     imgs0 = jnp.asarray(np.stack([f["img"] for f in frames[:3]])[None])
     poses0 = jnp.asarray(np.stack([f["cam_pose"] for f in frames[:3]])[None])
     intr0 = jnp.asarray(frames[0]["cam_intr"][None])
-    variables = model.init(
-        jax.random.key(0), imgs0, poses0, intr0, train=False
-    )
+    # jitted init: eager init is pathologically slow on remote TPU backends
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=False)
+    )(jax.random.key(0), imgs0, poses0, intr0)
 
     runner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
 

@@ -41,7 +41,13 @@ class ESTMRunner:
         lwindow: int = 3,
         memory_size: int = 2,
         batch: int = 1,
+        freeze_weights: bool = False,
     ):
+        """freeze_weights: close the (eval-constant) variables pytree over
+        the jitted step instead of passing its leaves per call. Cuts
+        per-frame dispatch cost but embeds the weights as HLO constants,
+        which inflates XLA compile time badly for the full-size model —
+        default off; useful for small models / long streams."""
         self.model = model
         self.variables = variables
         self.lwindow = lwindow
@@ -54,6 +60,10 @@ class ESTMRunner:
         self._intr_dev = None
         self._memory_filled = False
         self.memory = self._fresh_memory()
+
+        frozen = (
+            jax.tree.map(jax.device_put, variables) if freeze_weights else None
+        )
 
         def step(variables, frames, poses, intr, memory, use_est):
             # frames: tuple of lwindow [H, W, 3] device arrays
@@ -71,9 +81,20 @@ class ESTMRunner:
             # saves ("depth",0,0) refined and ("depth",0,2) fused-head maps)
             return outputs["depth"][:, 0], new_memory
 
-        self._step = jax.jit(
-            step, static_argnames=("use_est",), donate_argnames=("memory",)
-        )
+        if freeze_weights:
+            self._step = jax.jit(
+                lambda frames, poses, intr, memory, use_est: step(
+                    frozen, frames, poses, intr, memory, use_est
+                ),
+                static_argnames=("use_est",),
+                donate_argnames=("memory",),
+            )
+            self._pass_variables = False
+        else:
+            self._step = jax.jit(
+                step, static_argnames=("use_est",), donate_argnames=("memory",)
+            )
+            self._pass_variables = True
 
     def _fresh_memory(self) -> ESTMemory:
         return ESTMemory.create(
@@ -107,10 +128,16 @@ class ESTMRunner:
             self._intr_dev = jax.device_put(k)
 
         poses = np.stack(self._window_poses)  # [lw, 4, 4] tiny transfer
-        depth, self.memory = self._step(
-            self.variables, tuple(self._window_imgs), poses, self._intr_dev,
-            self.memory, use_est=self._memory_filled,
-        )
+        if self._pass_variables:
+            depth, self.memory = self._step(
+                self.variables, tuple(self._window_imgs), poses,
+                self._intr_dev, self.memory, use_est=self._memory_filled,
+            )
+        else:
+            depth, self.memory = self._step(
+                tuple(self._window_imgs), poses, self._intr_dev,
+                self.memory, use_est=self._memory_filled,
+            )
         self._memory_filled = True
         # slide the window by one (eval_hybrid_seq.py:190)
         self._window_imgs.pop(0)

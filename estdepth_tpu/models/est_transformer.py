@@ -28,10 +28,17 @@ _NEG_INF = -1e9
 
 
 class EpipolarTransformer(nn.Module):
-    """channels: key/value channel count (reference base_channels // 2 = 16)."""
+    """channels: key/value channel count (reference base_channels // 2 = 16).
+
+    use_pallas: route the attention stage through the fused Pallas kernel
+    (ops/pallas/epipolar_attention.py). Default off — see that module's
+    docstring for the measured tradeoff vs XLA's producer fusion.
+    """
 
     channels: int = 16
     dtype: Optional[jnp.dtype] = None
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # set for CPU tests
 
     @nn.compact
     def __call__(
@@ -50,20 +57,28 @@ class EpipolarTransformer(nn.Module):
                 neighbor_valid = jnp.ones(
                     (n, target_key.shape[0]), dtype=jnp.bool_
                 )
-            # per-voxel correlation over channels (epipolar_transformer.py:65)
-            corr = jnp.sum(target_key[None] * warped_keys, axis=-1)  # [N,B,D,H,W]
-            vmask = neighbor_valid[:, :, None, None, None]
-            logits = jnp.where(vmask, corr.astype(jnp.float32), _NEG_INF)
-            attn = nn.softmax(logits, axis=0)
-            attn = jnp.where(vmask, attn, 0.0)
-            n_valid = jnp.sum(neighbor_valid.astype(jnp.float32), axis=0)  # [B]
-            # reference: mean over neighbor axis of (values * attn) (:73)
-            h = jnp.sum(
-                warped_values * attn[..., None].astype(target_value.dtype), axis=0
-            )
-            h = h / jnp.maximum(n_valid, 1.0)[:, None, None, None, None].astype(
-                h.dtype
-            )
+            if self.use_pallas:
+                h = self._pallas_attention(
+                    target_key, warped_keys, warped_values, neighbor_valid
+                )
+            else:
+                # per-voxel correlation over channels
+                # (epipolar_transformer.py:65)
+                corr = jnp.sum(target_key[None] * warped_keys, axis=-1)
+                vmask = neighbor_valid[:, :, None, None, None]
+                logits = jnp.where(vmask, corr.astype(jnp.float32), _NEG_INF)
+                attn = nn.softmax(logits, axis=0)
+                attn = jnp.where(vmask, attn, 0.0)
+                n_valid = jnp.sum(neighbor_valid.astype(jnp.float32), axis=0)
+                # reference: mean over neighbor axis of (values * attn) (:73)
+                h = jnp.sum(
+                    warped_values
+                    * attn[..., None].astype(target_value.dtype),
+                    axis=0,
+                )
+                h = h / jnp.maximum(n_valid, 1.0)[
+                    :, None, None, None, None
+                ].astype(h.dtype)
         else:
             h = jnp.zeros_like(target_value)
 
@@ -89,3 +104,18 @@ class EpipolarTransformer(nn.Module):
         o = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="output_norm")(o)
         y = jnp.tanh(o)
         return u * h + (1.0 - u) * y
+
+    def _pallas_attention(self, target_key, warped_keys, warped_values, valid):
+        """Fold [B, D] and [H, W] and call the fused kernel."""
+        from estdepth_tpu.ops.pallas import epipolar_attention
+
+        n, b, d, h, w, c = warped_keys.shape
+        s, p = b * d, h * w
+        out = epipolar_attention(
+            target_key.reshape(s, p, c),
+            warped_keys.reshape(n, s, p, c),
+            warped_values.reshape(n, s, p, c),
+            jnp.repeat(valid, d, axis=1),  # [N, B] -> [N, B*D]
+            interpret=self.pallas_interpret,
+        )
+        return out.reshape(b, d, h, w, c)

@@ -56,12 +56,14 @@ def clip_by_global_norm(grads, max_norm: jnp.ndarray):
 def create_train_state(
     model, rng, example_batch, tx: optax.GradientTransformation
 ) -> TrainState:
-    variables = model.init(
+    # jit the init: eager init compiles each op separately, which is
+    # pathologically slow on remote-compiled TPU backends
+    init = jax.jit(partial(model.init, train=True))
+    variables = init(
         rng,
         example_batch["imgs"],
         example_batch["cam_poses"],
         example_batch["cam_intr"],
-        train=True,
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

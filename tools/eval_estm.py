@@ -23,6 +23,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from estdepth_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
@@ -67,28 +71,31 @@ def build_model_and_params(args):
     poses = np.tile(np.eye(4, dtype=np.float32)[None, None],
                     (1, args.lwindow, 1, 1))
     intr = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 100.0)
-    variables = model.init(
-        jax.random.key(0), imgs, jnp.asarray(poses), intr, train=False
+    # jitted init: eager init is pathologically slow on remote TPU backends
+    variables = jax.jit(lambda r, i, p, k: model.init(r, i, p, k, train=False))(
+        jax.random.key(0), imgs, jnp.asarray(poses), intr
     )
     if args.ckpt:
-        from estdepth_tpu.utils.checkpoint import CheckpointManager
+        if args.ckpt.endswith((".ckpt", ".pth", ".pt", ".tar")):
+            # reference torch checkpoint -> converted variables
+            from estdepth_tpu.utils.convert import load_torch_checkpoint
 
-        ckpt = CheckpointManager(args.ckpt)
-        state = ckpt.restore(
-            {"params": variables["params"],
-             "batch_stats": variables.get("batch_stats", {})}
-        ) if False else None
-        # restore full TrainState if present
-        import orbax.checkpoint as ocp
+            variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)
+            if unmatched:
+                print(f"converter skipped {len(unmatched)} torch keys")
+            print(f"converted torch checkpoint {args.ckpt}")
+        else:
+            # orbax TrainState directory from tools/train.py
+            import orbax.checkpoint as ocp
 
-        mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt))
-        step = mgr.latest_step()
-        restored = mgr.restore(step)
-        variables = {
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-        }
-        print(f"restored checkpoint step {step} from {args.ckpt}")
+            mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt))
+            step = mgr.latest_step()
+            restored = mgr.restore(step)
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+            print(f"restored checkpoint step {step} from {args.ckpt}")
     return model, variables
 
 

@@ -21,6 +21,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from estdepth_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)

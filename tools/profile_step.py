@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from estdepth_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
 
 def timeit(fn, *args, n=20, warmup=3):
     import jax
@@ -127,6 +131,44 @@ def main():
     c3v = conv3.init(jax.random.key(0), cv)
     t = timeit(jax.jit(conv3.apply), c3v, cv)
     print(f"one conv3d 32ch:       {1e3*t:8.2f} ms  (decoder has ~7)")
+
+    # --- training step (flagship config, single chip, V=5 window)
+    from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_window
+    from estdepth_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from estdepth_tpu.train.schedule import warmup_multistep_schedule
+    from estdepth_tpu.train.trainer import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    mesh = create_mesh(1)
+    tmodel = DepthNetHybrid(
+        ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=args.resnet,
+        est_transformer=True, bn_axis_name="data", dtype=dtype,
+    )
+    cfg = SyntheticSceneConfig(height=h, width=w)
+    batch = synthetic_window(cfg, n_frames=5)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
+    state = create_train_state(tmodel, jax.random.key(0), batch, tx)
+    state = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
+
+    def one_step(st):
+        st, scalars = step_fn(st, sharded, jnp.float32(10.0))
+        return st, scalars["loss"]
+
+    # time without donation hazards: run sequentially
+    state, _ = one_step(state)  # compile
+    state, l = one_step(state)
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    n_it = 10
+    for _ in range(n_it):
+        state, l = one_step(state)
+    jax.block_until_ready(l)
+    t = (time.perf_counter() - t0) / n_it
+    print(f"train step (V=5, B=1): {1e3*t:8.2f} ms  ({1/t:.1f} steps/s/chip)")
 
 
 if __name__ == "__main__":

@@ -17,7 +17,13 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from estdepth_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
 
 
 def parse_args():
@@ -46,8 +52,16 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary-freq", type=int, default=10)
+    p.add_argument("--image-freq", type=int, default=100,
+                   help="dump colorized depth/prob images every N steps")
     p.add_argument("--ckpt-steps", type=int, default=5000)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans — the TPU equivalent of the "
+                        "reference's always-on autograd anomaly mode "
+                        "(train_hybrid.py:167)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host")
     return p.parse_args()
 
 
@@ -85,6 +99,11 @@ def main():
 
     import jax
     import jax.numpy as jnp
+
+    if args.multihost:
+        jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from estdepth_tpu.data.pipeline import TrainLoader, prefetch_to_device
     from estdepth_tpu.models import DepthNetHybrid
@@ -158,6 +177,41 @@ def main():
     logger = ScalarLogger(args.logdir) if jax.process_index() == 0 else None
     meter = DictAverageMeter()
 
+    # eval-mode forward for periodic image summaries (reference save_images,
+    # train_hybrid.py:185-204)
+    @jax.jit
+    def viz_fn(params, batch_stats, imgs, poses, intr):
+        outputs, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, poses, intr, train=False,
+        )
+        return outputs["depth"][0, 0, 0], outputs["fused_prob"][0, 0]
+
+    def dump_images(step, batch):
+        from estdepth_tpu.utils.viz import (
+            colorize_depth, colorize_probmap, save_image,
+        )
+
+        img_dir = os.path.join(args.logdir, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        depth, prob = viz_fn(
+            state.params, state.batch_stats,
+            batch["imgs"][:1], batch["cam_poses"][:1], batch["cam_intr"][:1],
+        )
+        save_image(
+            os.path.join(img_dir, f"depth_{step:07d}.jpg"),
+            colorize_depth(np.asarray(depth), args.depth_min, args.depth_max),
+        )
+        save_image(
+            os.path.join(img_dir, f"prob_{step:07d}.jpg"),
+            colorize_probmap(np.asarray(prob)),
+        )
+        gt = np.asarray(batch["dmaps"][0, 0])
+        save_image(
+            os.path.join(img_dir, f"gt_{step:07d}.jpg"),
+            colorize_depth(gt, args.depth_min, args.depth_max),
+        )
+
     total_steps = 0
     for epoch in range(start_epoch, args.epochs):
         clip = 10.0 if epoch < 3 else 1.0  # train_hybrid.py:94-97
@@ -177,6 +231,8 @@ def main():
                     f"delta0 {scalars['delta_0']:.4f} "
                     f"thred0 {scalars['thred_0']:.4f} time {dt:.3f}s"
                 )
+            if (step % args.image_freq == 0 and jax.process_index() == 0):
+                dump_images(step, batch)
             if step % args.ckpt_steps == 0 and jax.process_index() == 0:
                 ckpt.save(step, jax.device_get(state))
             if args.steps and total_steps >= args.steps:
