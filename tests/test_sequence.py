@@ -1,0 +1,45 @@
+"""lax.scan sequence processor == the per-frame streaming driver."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
+from estdepth_tpu.eval.estm import ESTMRunner
+from estdepth_tpu.eval.sequence import make_sequence_processor
+from estdepth_tpu.models import DepthNetHybrid
+
+
+def test_scan_sequence_matches_streaming():
+    h, w, nd = 64, 96, 8
+    model = DepthNetHybrid(
+        ndepths=nd, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    cfg = SyntheticSceneConfig(height=h, width=w, focal=80.0)
+    frames = list(synthetic_stream(cfg, n_frames=7, depth_min=0.5,
+                                   depth_max=8.0))
+    imgs = jnp.asarray(np.stack([f["img"] for f in frames])[None])
+    poses = jnp.asarray(np.stack([f["cam_pose"] for f in frames])[None])
+    intr = jnp.asarray(frames[0]["cam_intr"][None])
+
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=False)
+    )(jax.random.key(0), imgs[:, :3], poses[:, :3], intr)
+
+    process = make_sequence_processor(model, lwindow=3, memory_size=2)
+    scan_depths = process(variables, imgs, poses, intr)  # [1, 5, 4, H, W]
+    assert scan_depths.shape == (1, 5, 4, h, w)
+
+    runner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
+    stream_depths = []
+    for f in frames:
+        d = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        if d is not None:
+            stream_depths.append(np.asarray(d[0]))
+    stream_depths = np.stack(stream_depths)  # [5, 4, H, W]
+
+    np.testing.assert_allclose(
+        np.asarray(scan_depths[0]), stream_depths, rtol=1e-3, atol=2e-3
+    )

@@ -141,6 +141,7 @@ def run_scene(runner, frames, args, outdir=None, scene=""):
 
 def main():
     args = parse_args()
+    print("args:", vars(args))  # print_args equivalent (utils/utils.py:8-12)
 
     from estdepth_tpu.eval.estm import ESTMRunner
 
@@ -186,8 +187,15 @@ def main():
         else:
             scene_seqs = SEVEN_SCENES_TEST_SEQS
         for scene, seq in scene_seqs:
-            ds.reset(scene, seq)
             name = scene if seq is None else f"{scene}_{seq}"
+            if args.outdir and args.save_maps:
+                import glob as _glob
+
+                # skip-completed-scenes resume (eval_hybrid_seq.py:289-290)
+                if _glob.glob(os.path.join(args.outdir, f"{name}_*_depth.npy")):
+                    print(f"{name}: outputs exist, skipping")
+                    continue
+            ds.reset(scene, seq)
             times, errs = run_scene(runner, iter(ds), args, args.outdir, name)
             all_times += times
             all_errs += errs

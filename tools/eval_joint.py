@@ -108,6 +108,7 @@ class JointRunner:
 
 def main():
     args = parse_args()
+    print("args:", vars(args))  # print_args equivalent (utils/utils.py:8-12)
 
     import jax.numpy as jnp
 
@@ -181,8 +182,15 @@ def main():
         else:
             scene_seqs = SEVEN_SCENES_TEST_SEQS
         for scene, seq in scene_seqs:
-            ds.reset(scene, seq)
             name = scene if seq is None else f"{scene}_{seq}"
+            if args.outdir and args.save_maps:
+                import glob as _glob
+
+                # skip-completed-scenes resume (eval_hybrid.py:99-100)
+                if _glob.glob(os.path.join(args.outdir, f"{name}_*_depth.npy")):
+                    print(f"{name}: outputs exist, skipping")
+                    continue
+            ds.reset(scene, seq)
             errs = eval_windows((ds[i] for i in range(len(ds))), name)
             all_errs += errs
             print(f"{name}: {len(errs)} target frames")

@@ -49,6 +49,10 @@ def parse_args():
     p.add_argument("--depth-max", type=float, default=10.0)
     p.add_argument("--resnet", type=int, default=50)
     p.add_argument("--no-est", action="store_true")
+    p.add_argument("--fix-matching-feature", action="store_true",
+                   help="freeze the PSM matching encoder (train_hybrid.py:297-301)")
+    p.add_argument("--fix-semantic-feature", action="store_true",
+                   help="freeze the ResNet context encoder (train_hybrid.py:302-306)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary-freq", type=int, default=10)
@@ -115,6 +119,7 @@ def main():
     from estdepth_tpu.utils.checkpoint import CheckpointManager
     from estdepth_tpu.utils.logging import DictAverageMeter, ScalarLogger
 
+    print("args:", vars(args))  # print_args equivalent (utils/utils.py:8-12)
     n_dev = len(jax.devices())
     mesh = create_mesh()
     global_batch = args.batch_per_device * n_dev
@@ -147,7 +152,15 @@ def main():
     sched = warmup_multistep_schedule(
         args.lr, steps_per_epoch, milestones, 1.0 / float(decay),
     )
-    tx = make_optimizer(sched, args.wd)
+    frozen = tuple(
+        name
+        for flag, name in (
+            (args.fix_matching_feature, "matching_feature"),
+            (args.fix_semantic_feature, "semantic_feature"),
+        )
+        if flag
+    )
+    tx = make_optimizer(sched, args.wd, frozen_prefixes=frozen)
 
     model = DepthNetHybrid(
         ndepths=args.ndepths, depth_min=args.depth_min,
