@@ -130,9 +130,8 @@ def _map_decoder(key: str):
                 "conv" if int(m.group(2)) == 0 else "bn", m.group(3))
     m = re.match(r"(stereo_head[01])\.0\.(\d+)\.(.+)", key)
     if m:
-        return (m.group(1), "conv0", "conv",
-                m.group(3)) if int(m.group(2)) == 0 else (
-            m.group(1), "conv0", "bn", m.group(3))
+        sub = "conv" if int(m.group(2)) == 0 else "bn"
+        return (m.group(1), "conv0", "conv", sub, m.group(3))
     m = re.match(r"(stereo_head[01])\.1\.(.+)", key)
     if m:
         return (m.group(1), "out", m.group(2))
@@ -212,6 +211,134 @@ def convert_state_dict(state_dict: Dict[str, "np.ndarray"], strict: bool = True)
         raise KeyError(f"unmatched torch keys ({len(unmatched)}): "
                        f"{unmatched[:10]} ...")
     return {"params": params, "batch_stats": batch_stats}, unmatched
+
+
+def _invert_conv_kernel(k: np.ndarray) -> np.ndarray:
+    if k.ndim == 4:  # [kh,kw,I,O] -> [O,I,kh,kw]
+        return np.transpose(k, (3, 2, 0, 1))
+    if k.ndim == 5:  # [kd,kh,kw,I,O] -> [O,I,kd,kh,kw]
+        return np.transpose(k, (4, 3, 0, 1, 2))
+    raise ValueError(f"unexpected kernel rank {k.ndim}")
+
+
+# inverse of the _map_* rules: our path segments -> torch name fragments
+_PSM_INV = {
+    "firstconv_0": "firstconv.0", "firstconv_1": "firstconv.2",
+    "firstconv_2": "firstconv.4",
+    "branch1": "branch1.1", "branch2": "branch2.1",
+    "branch3": "branch3.1", "branch4": "branch4.1",
+    "lastconv_0": "lastconv.0",
+}
+
+
+def export_state_dict(variables) -> dict:
+    """Our {'params','batch_stats'} -> a torch-style state_dict with the
+    reference's module names (the exact inverse of convert_state_dict;
+    enables round-trip validation and export to the reference format)."""
+    import re as _re
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out = {}
+
+    def emit(torch_prefix, node, stat_node, kind):
+        """kind: 'conv' | 'bn' | 'gn' | 'plain'"""
+        if kind == "conv":
+            out[f"{torch_prefix}.weight"] = _invert_conv_kernel(
+                np.asarray(node["kernel"])
+            )
+            if "bias" in node:
+                out[f"{torch_prefix}.bias"] = np.asarray(node["bias"])
+        elif kind in ("bn", "gn"):
+            out[f"{torch_prefix}.weight"] = np.asarray(node["scale"])
+            out[f"{torch_prefix}.bias"] = np.asarray(node["bias"])
+            if kind == "bn" and stat_node is not None:
+                out[f"{torch_prefix}.running_mean"] = np.asarray(
+                    stat_node["mean"]
+                )
+                out[f"{torch_prefix}.running_var"] = np.asarray(stat_node["var"])
+
+    def convbn(torch_base, node, stat_node, conv_idx="0", bn_idx="1"):
+        emit(f"{torch_base}.{conv_idx}", node["conv"], None, "conv")
+        emit(f"{torch_base}.{bn_idx}", node["bn"],
+             stat_node.get("bn") if stat_node else None, "bn")
+
+    # --- matching feature (PSM)
+    mf = params.get("matching_feature", {})
+    ms = stats.get("matching_feature", {})
+    for name, node in mf.items():
+        snode = ms.get(name, {})
+        m = _re.match(r"layer(\d+)_(\d+)$", name)
+        if m:
+            base = f"matchingFeature.layer{m.group(1)}.{m.group(2)}"
+            convbn(f"{base}.conv1.0", node["conv1"], snode.get("conv1"))
+            convbn(f"{base}.conv2", node["conv2"], snode.get("conv2"))
+            if "downsample" in node:
+                convbn(f"{base}.downsample", node["downsample"],
+                       snode.get("downsample"))
+        elif name == "lastconv_1":
+            emit("matchingFeature.lastconv.2", node, None, "conv")
+        elif name in _PSM_INV:
+            convbn(f"matchingFeature.{_PSM_INV[name]}", node, snode)
+
+    # --- semantic feature (torchvision resnet)
+    sf = params.get("semantic_feature", {})
+    ss = stats.get("semantic_feature", {})
+    for name, node in sf.items():
+        snode = ss.get(name, {})
+        if name == "conv1":
+            emit("semanticFeature.encoder.conv1", node["conv"], None, "conv")
+            emit("semanticFeature.encoder.bn1", node["bn"],
+                 snode.get("bn"), "bn")
+            continue
+        m = _re.match(r"layer(\d+)_(\d+)$", name)
+        if m:
+            base = f"semanticFeature.encoder.layer{m.group(1)}.{m.group(2)}"
+            for ci in ("1", "2", "3"):
+                key = f"conv{ci}"
+                if key in node:
+                    emit(f"{base}.conv{ci}", node[key]["conv"], None, "conv")
+                    emit(f"{base}.bn{ci}", node[key]["bn"],
+                         snode.get(key, {}).get("bn"), "bn")
+            if "downsample" in node:
+                convbn(f"{base}.downsample", node["downsample"],
+                       snode.get("downsample"))
+
+    # --- decoder
+    dec = params.get("decoder", {})
+    ds = stats.get("decoder", {})
+    for name, node in dec.items():
+        snode = ds.get(name, {})
+        if name.startswith("upconv_"):
+            convbn(f"CostRegNet.{name}.conv", node["conv"], snode.get("conv"))
+        elif name.startswith("dispconv_"):
+            emit(f"CostRegNet.{name}", node, None, "conv")
+        elif _re.match(r"dres[01]_\d$", name):
+            seq = name[-1]
+            convbn(f"CostRegNet.{name[:5]}.{seq}", node["conv"],
+                   snode.get("conv"))
+        elif name == "dres2":
+            convbn("CostRegNet.dres2.0", node["conv"], snode.get("conv"))
+        elif name in ("key_layer", "value_layer"):
+            convbn(f"CostRegNet.{name}.0", node["conv"], snode.get("conv"))
+        elif name.startswith("stereo_head"):
+            convbn(f"CostRegNet.{name}.0", node["conv0"]["conv"],
+                   snode.get("conv0", {}).get("conv"))
+            emit(f"CostRegNet.{name}.1", node["out"], None, "conv")
+        elif name == "est":
+            for sub in ("gate_conv", "output_conv"):
+                emit(f"CostRegNet.epipolar_transformer.{sub}", node[sub],
+                     None, "conv")
+            for sub in ("reset_gate_norm", "update_gate_norm", "output_norm"):
+                emit(f"CostRegNet.epipolar_transformer.{sub}", node[sub],
+                     None, "gn")
+
+    # --- pre0/1/2
+    for name in ("pre0", "pre1", "pre2"):
+        if name in params:
+            convbn(name, params[name], stats.get(name, {}))
+
+    return out
 
 
 def load_torch_checkpoint(path: str, strict: bool = True):
