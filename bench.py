@@ -72,8 +72,30 @@ def main():
         out = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
     # force full completion incl. a host fetch of real data (np.asarray is a
     # pure transfer; an eager reduction here would COMPILE a new op, which
-    # costs tens of seconds through remote-compiled backends)
-    _ = np.asarray(out)
+    # costs tens of seconds through remote-compiled backends). The fetch
+    # runs under a timeout: this environment's device->host path has been
+    # observed to wedge indefinitely, and the bench must still print.
+    import threading
+
+    fetched = threading.Event()
+
+    def _fetch():
+        try:
+            np.asarray(out)
+        finally:
+            fetched.set()
+
+    th = threading.Thread(target=_fetch, daemon=True)
+    th.start()
+    if not fetched.wait(timeout=180.0):
+        import sys
+
+        jax.block_until_ready(out)
+        print(
+            "WARNING: device->host fetch timed out; timing is "
+            "block_until_ready-based and may under-report",
+            file=sys.stderr, flush=True,
+        )
     dt = time.perf_counter() - t0
 
     fps = N_TIMED / dt

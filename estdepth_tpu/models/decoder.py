@@ -102,6 +102,13 @@ class DepthHybridDecoder(nn.Module):
     ndepths: int = 64
     depth_max: float = 10.0
     est_transformer: bool = True
+    # Reference-faithful sequential fusion: the reference updates values[i]
+    # in place inside its per-target loop (hybrid_depth_decoder.py:253), so
+    # target i attends over the already-FUSED values of targets j < i.
+    # True (default) replicates that chain; False runs all targets against
+    # pre-fusion neighbor values in one batched call (more parallel,
+    # identical when num == 1, i.e. in ESTM streaming).
+    sequential_fusion: bool = True
     base_channels: int = 32
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
@@ -239,6 +246,78 @@ class DepthHybridDecoder(nn.Module):
         )
         return fused.reshape(b, num, d, h, w, c)
 
+    def _est_fusion_sequential(
+        self,
+        key: jnp.ndarray,       # [B, num, D, H, W, C]
+        value: jnp.ndarray,     # [B, num, D, H, W, C]
+        target_poses: jnp.ndarray,
+        cam_intr: jnp.ndarray,
+        depth_values: jnp.ndarray,
+        depth_min: float,
+        depth_interval: float,
+        memory: Optional[ESTMemory],
+    ) -> jnp.ndarray:
+        """Reference-faithful fusion: targets processed in order, each
+        attending over the CURRENT state of its neighbors — in-window
+        neighbors j < i are already fused (hybrid_depth_decoder.py:229-254).
+        Keys never change, so key warps still batch across all pairs."""
+        b, num, d, h, w, c = key.shape
+
+        if memory is not None and memory.size > 0:
+            all_poses = jnp.concatenate([target_poses, memory.poses], 1)
+            window_valid = jnp.ones((b, num), jnp.bool_)
+            all_valid = jnp.concatenate([window_valid, memory.valid], 1)
+            mem_keys = memory.keys.astype(key.dtype)
+            mem_vals = memory.values.astype(value.dtype)
+        else:
+            all_poses = target_poses
+            all_valid = jnp.ones((b, num), jnp.bool_)
+            mem_keys = mem_vals = None
+
+        s = all_poses.shape[1]
+        if s == 1:
+            return self.est(key[:, 0], value[:, 0])[:, None]
+
+        values = [value[:, i] for i in range(num)]
+        keys_all = [key[:, i] for i in range(num)]
+        if mem_keys is not None:
+            keys_all += [mem_keys[:, m] for m in range(memory.size)]
+
+        for i in range(num):
+            nb_idx = [j for j in range(s) if j != i]
+            nn = len(nb_idx)
+            rel = jnp.einsum(
+                "bnij,bjk->bnik",
+                jnp.stack([all_poses[:, j] for j in nb_idx], 1),
+                jnp.linalg.inv(target_poses[:, i]),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            # current neighbor K/V (values of j < i already fused)
+            nb_k = jnp.stack([keys_all[j] for j in nb_idx], 1)
+            nb_v = jnp.stack(
+                [
+                    values[j] if j < num else mem_vals[:, j - num]
+                    for j in nb_idx
+                ],
+                1,
+            )
+            kv = jnp.concatenate([nb_k, nb_v], axis=-1)
+            warped = frustum_warp(
+                kv.reshape(b * nn, d, h, w, 2 * c),
+                rel.reshape(b * nn, 4, 4),
+                jnp.tile(cam_intr[:, None], (1, nn, 1, 1)).reshape(b * nn, 3, 3),
+                jnp.tile(depth_values[:, None], (1, nn, 1)).reshape(b * nn, -1),
+                depth_min, depth_interval,
+            ).reshape(b, nn, d, h, w, 2 * c)
+            warped = jnp.moveaxis(warped, 1, 0)  # [NN, B, D, H, W, 2C]
+            valid_i = jnp.stack([all_valid[:, j] for j in nb_idx], 0)  # [NN,B]
+            fused = self.est(
+                key[:, i], values[i], warped[..., :c], warped[..., c:],
+                valid_i,
+            )
+            values[i] = fused
+        return jnp.stack(values, axis=1)
+
     def __call__(
         self,
         cost_volumes: jnp.ndarray,            # [B, num, D, H, W, 32]
@@ -285,7 +364,12 @@ class DepthHybridDecoder(nn.Module):
             self.est(key_w[:, 0], value_w[:, 0])
 
         if use_est:
-            fused = self._est_fusion(
+            fusion = (
+                self._est_fusion_sequential
+                if self.sequential_fusion
+                else self._est_fusion
+            )
+            fused = fusion(
                 key_w, value_w, target_poses, cam_intr, depth_values,
                 depth_min, depth_interval, memory,
             )  # [B, num, D, H, W, C]

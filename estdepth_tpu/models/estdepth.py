@@ -39,6 +39,8 @@ class DepthNetHybrid(nn.Module):
     depth_max: float = 10.0
     resnet: int = 50
     est_transformer: bool = True
+    # reference-faithful in-window fusion order (see DepthHybridDecoder)
+    sequential_fusion: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -62,6 +64,7 @@ class DepthNetHybrid(nn.Module):
             ndepths=self.ndepths,
             depth_max=self.depth_max,
             est_transformer=self.est_transformer,
+            sequential_fusion=self.sequential_fusion,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60)
