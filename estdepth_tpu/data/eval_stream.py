@@ -14,7 +14,7 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from estdepth_tpu.data import io_utils
-from estdepth_tpu.data.eval_windows import SEVEN_SCENES_TEST_SEQS, _frame_paths
+from estdepth_tpu.data.eval_windows import _frame_paths
 
 
 class StreamEvalDataset:

@@ -14,8 +14,6 @@ window fuses in-window neighbors + the memory.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ BatchNorm(axis_name="data").
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,12 +101,18 @@ def make_train_step(
     depth_min: float,
     depth_max: float,
     loss_weight: float = 0.8,
+    remat: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns jitted (state, batch, clip_norm) -> (state, scalars).
 
     batch: imgs [B,V,H,W,3] 0..255, cam_poses [B,V,4,4], cam_intr [B,3,3],
     dmaps [B,T,H,W], dmasks [B,T,H,W] bool — batch axis sharded over `data`.
+
+    remat: rematerialize the forward during backward (jax.checkpoint) —
+    trades ~1.5x FLOPs for dropping all forward activations from HBM,
+    enabling larger per-chip batches (the cost volumes dominate activation
+    memory at ~250 MB per target window).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -124,6 +130,11 @@ def make_train_step(
             depth_min, depth_max, weight=loss_weight,
         )
         return loss, (scalars, updates["batch_stats"])
+
+    if remat:
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.nothing_saveable
+        )
 
     def step_fn(state: TrainState, batch, clip_norm):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -7,7 +7,6 @@ generated, so they anchor the mapping rules.
 """
 
 import numpy as np
-import pytest
 
 import jax
 

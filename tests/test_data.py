@@ -6,8 +6,8 @@ import numpy as np
 import pytest
 
 from estdepth_tpu.data.eval_stream import StreamEvalDataset
-from estdepth_tpu.data.eval_windows import WindowEvalDataset, build_windows
-from estdepth_tpu.data.pipeline import TrainLoader, collate
+from estdepth_tpu.data.eval_windows import WindowEvalDataset
+from estdepth_tpu.data.pipeline import TrainLoader
 from estdepth_tpu.data.scannet import ScanNetTrainDataset
 from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_window
 

@@ -64,6 +64,8 @@ def parse_args():
                    help="jax_debug_nans — the TPU equivalent of the "
                         "reference's always-on autograd anomaly mode "
                         "(train_hybrid.py:167)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forward during backward (larger batches)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host")
     return p.parse_args()
@@ -185,7 +187,7 @@ def main():
 
     state = replicate(state, mesh)
     step_fn = make_train_step(
-        model, tx, mesh, args.depth_min, args.depth_max,
+        model, tx, mesh, args.depth_min, args.depth_max, remat=args.remat,
     )
     logger = ScalarLogger(args.logdir) if jax.process_index() == 0 else None
     meter = DictAverageMeter()
