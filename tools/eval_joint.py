@@ -44,6 +44,9 @@ def parse_args():
     p.add_argument("--seq-length", type=int, default=5)
     p.add_argument("--frame-interval", type=int, default=10)
     p.add_argument("--no-est", action="store_true")
+    p.add_argument("--keyframe-list", type=str, default=None,
+                   help="evaluate (scene, index) keyframe windows "
+                        "(ScannetTestDataset mode, scannet_select.py)")
     p.add_argument("--max-windows", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
@@ -151,7 +154,22 @@ def main():
         return errs
 
     all_errs = []
-    if args.synthetic:
+    if args.keyframe_list:
+        from estdepth_tpu.data.keyframe_eval import KeyframeEvalDataset
+
+        assert args.datapath
+        ds = KeyframeEvalDataset(
+            args.datapath, args.keyframe_list, args.height, args.width,
+            depth_min=max(args.depth_min, 0.1), depth_max=args.depth_max,
+        )
+        # keyframe windows are independent: no cross-window state
+        for i in range(len(ds)):
+            runner.reset()
+            sample = ds[i]
+            all_errs += eval_windows(iter([sample]),
+                                     f"{sample['scene']}_{sample['index']}")
+        print(f"keyframes: {len(ds)} windows")
+    elif args.synthetic:
         from estdepth_tpu.data.synthetic import (
             SyntheticSceneConfig, synthetic_window,
         )
