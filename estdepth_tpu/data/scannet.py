@@ -78,7 +78,10 @@ class ScanNetTrainDataset:
         min_valid_ratio: float = 0.5,
         reload_scan: bool = False,
         seed: int = 0,
+        backend: str = "auto",
     ):
+        """backend: "native" (threaded C++ decode, data/native/), "cv2",
+        or "auto" (native when it builds, else cv2)."""
         self.dataset_path = dataset_path
         self.height = height
         self.width = width
@@ -87,6 +90,12 @@ class ScanNetTrainDataset:
         self.depth_max = depth_max
         self.min_valid_ratio = min_valid_ratio
         self._rng = np.random.default_rng(seed)
+
+        if backend == "auto":
+            from estdepth_tpu.data import native
+
+            backend = "native" if native.available() else "cv2"
+        self.backend = backend
 
         if split_txt and os.path.exists(split_txt):
             self.scenes = io_utils.read_split_file(split_txt)
@@ -121,34 +130,42 @@ class ScanNetTrainDataset:
 
     def _read(self, i: int) -> Dict[str, np.ndarray]:
         blob = self.index[i]
-        imgs, poses, dmaps, dmasks = [], [], [], []
-        for f in range(self.n_frames):
-            imgs.append(
-                io_utils.read_image_rgb(blob["images"][f], self.width, self.height)
+        if self.backend == "native":
+            from estdepth_tpu.data import native
+
+            imgs, depths, poses = native.read_window(
+                blob["images"], blob["depths"], blob["poses"],
+                self.width, self.height,
             )
-            pose = io_utils.read_pose(blob["poses"][f])
-            assert np.all(np.isfinite(pose))
-            poses.append(pose)
-            depth = io_utils.read_depth_mm(
-                blob["depths"][f], self.width, self.height
-            )
-            mask = (
-                (depth >= self.depth_min)
-                & (depth <= self.depth_max)
-                & np.isfinite(depth)
-            )
-            depth = np.where(mask, depth, 0.0)
-            ratio = mask.mean()
-            assert ratio > self.min_valid_ratio, f"only {ratio:.0%} valid depth"
-            dmaps.append(depth)
-            dmasks.append(mask)
+        else:
+            imgs = np.stack([
+                io_utils.read_image_rgb(p, self.width, self.height)
+                for p in blob["images"]
+            ])
+            depths = np.stack([
+                io_utils.read_depth_mm(p, self.width, self.height)
+                for p in blob["depths"]
+            ])
+            poses = np.stack([io_utils.read_pose(p) for p in blob["poses"]])
+
+        assert np.all(np.isfinite(poses))
+        masks = (
+            (depths >= self.depth_min)
+            & (depths <= self.depth_max)
+            & np.isfinite(depths)
+        )
+        depths = np.where(masks, depths, 0.0)
+        ratios = masks.reshape(self.n_frames, -1).mean(axis=1)
+        assert ratios.min() > self.min_valid_ratio, (
+            f"only {ratios.min():.0%} valid depth"
+        )
         return {
-            "imgs": np.stack(imgs).astype(np.float32),        # [V,H,W,3]
-            "cam_poses": np.stack(poses).astype(np.float32),  # [V,4,4]
-            "cam_intr": self.cam_intr,                        # [3,3]
+            "imgs": imgs.astype(np.float32),        # [V,H,W,3]
+            "cam_poses": poses.astype(np.float32),  # [V,4,4]
+            "cam_intr": self.cam_intr,              # [3,3]
             # targets are frames 1..V-2 (model consumes only those GTs)
-            "dmaps": np.stack(dmaps[1:-1]).astype(np.float32),  # [T,H,W]
-            "dmasks": np.stack(dmasks[1:-1]),                   # [T,H,W]
+            "dmaps": depths[1:-1].astype(np.float32),  # [T,H,W]
+            "dmasks": masks[1:-1],                     # [T,H,W]
         }
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
