@@ -42,12 +42,17 @@ class ESTMRunner:
         memory_size: int = 2,
         batch: int = 1,
         freeze_weights: bool = False,
+        reference_pose_pairing: bool = False,
     ):
         """freeze_weights: close the (eval-constant) variables pytree over
         the jitted step instead of passing its leaves per call. Cuts
         per-frame dispatch cost but embeds the weights as HLO constants,
         which inflates XLA compile time badly for the full-size model —
-        default off; useful for small models / long streams."""
+        default off; useful for small models / long streams.
+
+        reference_pose_pairing: reproduce the reference's stale memory-pose
+        bookkeeping bit-for-bit (see ESTMemory.push) — used by the parity
+        harness; keep False for geometrically correct streaming."""
         self.model = model
         self.variables = variables
         self.lwindow = lwindow
@@ -76,7 +81,10 @@ class ESTMRunner:
                 memory=memory if use_est else None,
                 use_est=use_est, train=False,
             )
-            new_memory = memory.push(key, value, pose)
+            new_memory = memory.push(
+                key, value, pose,
+                reference_pose_pairing=reference_pose_pairing,
+            )
             # center-frame depth at all 4 scales (eval_hybrid_seq.py:200-258
             # saves ("depth",0,0) refined and ("depth",0,2) fused-head maps)
             return outputs["depth"][:, 0], new_memory

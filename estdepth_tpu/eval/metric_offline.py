@@ -148,30 +148,87 @@ def compute_errors(
 
 
 def depth_scale_factor(pred, gt, depth_scaling: str = "abs") -> float:
-    """Least-squares scale aligning pred to gt (metric.py:262-300)."""
+    """Least-squares scale aligning pred to gt (metric.py:262-300).
+
+    Reference quirk preserved: for 'abs' and 'inv' the sums run only over
+    elements whose PRODUCT pred*gt (resp. (1/pred)*(1/gt)) falls inside the
+    (0.3, 5.0) depth-range mask (metric.py:271-272,288-289) — the range test
+    is applied to the product, not the depths."""
     assert np.all(np.isfinite(pred) & np.isfinite(gt) & (pred > 0) & (gt > 0))
     if depth_scaling == "abs":
-        s11 = float(np.sum(pred * pred))
-        s12 = float(np.sum(pred * gt))
+        d11 = pred * pred
+        d12 = pred * gt
+        m = valid_depth_mask(d12)
+        s11 = float(np.sum(d11[m]))
+        s12 = float(np.sum(d12[m]))
         return s12 / s11 if s11 > 0 else 1.0
     if depth_scaling == "log":
         return float(np.exp(np.mean(np.log(gt) - np.log(pred))))
     if depth_scaling == "inv":
         ip, ig = 1.0 / pred, 1.0 / gt
-        s11 = float(np.sum(ip * ip))
-        s12 = float(np.sum(ip * ig))
+        d11 = ip * ip
+        d12 = ip * ig
+        m = valid_depth_mask(d12)
+        s11 = float(np.sum(d11[m]))
+        s12 = float(np.sum(d12[m]))
         return 1.0 / (s12 / s11) if s11 > 0 else 1.0
     raise ValueError(f"unknown depth scaling: {depth_scaling}")
 
 
 def evaluate_depth(
+    translation_gt: np.ndarray,
+    depth_gt_in: np.ndarray,
+    depth_pred_in: np.ndarray,
+    distances_to_compute: Optional[Sequence[str]] = None,
+    inverse_gt: bool = True,
+    inverse_pred: bool = True,
+    depth_scaling: str = "abs",
+    depth_pred_max: float = np.inf,
+):
+    """(errors, errors_after_optimal_scaling) — full port of
+    metric.py:303-353, including its quirks:
+
+      * pre-mask on (pred, gt) in the metric range, THEN optional inversion
+        to inverse depth (`inverse_gt`/`inverse_pred`, default True);
+      * GT rescaling by the ground-truth translation norm when it is not
+        already normalized (DeMoN-style scale-ambiguous evaluation);
+      * `depth_pred_max` is accepted but has no effect — the clamp is
+        commented out in the reference (metric.py:335-336);
+      * `compute_errors` re-masks its (possibly inverted/rescaled) inputs in
+      the same absolute 0.3-5.0 range (metric.py:238).
+    """
+    del depth_pred_max  # reference behavior: clamp is commented out
+    valid_mask = valid_depth_mask(depth_pred_in, depth_gt_in)
+    depth_pred = depth_pred_in[valid_mask]
+    depth_gt = depth_gt_in[valid_mask]
+    if inverse_gt:
+        depth_gt = np.reciprocal(depth_gt)
+    if inverse_pred:
+        depth_pred = np.reciprocal(depth_pred)
+
+    translation_gt = np.asarray(translation_gt, dtype=np.float64)
+    translation_norm = float(np.sqrt(translation_gt.dot(translation_gt)))
+    if not np.isclose(1.0, translation_norm):
+        depth_gt = depth_gt / translation_norm
+
+    errs = compute_errors(depth_pred, depth_gt, distances_to_compute)
+    scale = depth_scale_factor(depth_pred, depth_gt, depth_scaling)
+    errs_scaled = compute_errors(
+        depth_pred * scale, depth_gt, distances_to_compute
+    )
+    return errs, errs_scaled
+
+
+def evaluate_depth_metric(
     depth_gt: np.ndarray,
     depth_pred: np.ndarray,
     distances_to_compute: Optional[Sequence[str]] = None,
     depth_scaling: str = "abs",
 ):
-    """(errors, errors_after_optimal_scaling) — metric.py:303-353 without the
-    translation-norm GT rescaling (pass metric depths directly)."""
+    """(errors, errors_after_optimal_scaling) on metric (non-inverse) depths
+    with no translation rescaling — the common case for ScanNet/7-Scenes
+    where poses are metric (equivalent to evaluate_depth with unit
+    translation and inverse_* False)."""
     mask = valid_depth_mask(depth_pred, depth_gt)
     pred = depth_pred[mask]
     gt = depth_gt[mask]

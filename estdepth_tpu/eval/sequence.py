@@ -24,12 +24,16 @@ def make_sequence_processor(
     model: DepthNetHybrid,
     lwindow: int = 3,
     memory_size: int = 2,
+    reference_pose_pairing: bool = False,
 ):
     """Returns jitted fn(variables, frames, poses, intr) -> depths.
 
     frames: [B, T, H, W, 3] (0..255), poses: [B, T, 4, 4], intr: [B, 3, 3].
     Returns [B, T - lwindow + 1, 4, H, W]: center-frame depth (4 scales) of
     each sliding window, in frame order.
+
+    reference_pose_pairing: reproduce the reference's stale memory-pose
+    bookkeeping (see ESTMemory.push) for parity validation.
     """
 
     def window_step(variables, imgs, poses, intr, memory, use_est):
@@ -38,7 +42,9 @@ def make_sequence_processor(
             memory=memory if use_est else None,
             use_est=use_est, train=False,
         )
-        return outputs["depth"][:, 0], memory.push(key, value, pose)
+        return outputs["depth"][:, 0], memory.push(
+            key, value, pose, reference_pose_pairing=reference_pose_pairing,
+        )
 
     def process(variables, frames, poses, intr):
         b, t = frames.shape[0], frames.shape[1]

@@ -56,15 +56,34 @@ class ESTMemory:
         )
 
     def push(
-        self, key: jnp.ndarray, value: jnp.ndarray, pose: jnp.ndarray
+        self,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        pose: jnp.ndarray,
+        reference_pose_pairing: bool = False,
     ) -> "ESTMemory":
         """Append (key, value, pose) dropping the oldest entry.
 
         Mirrors the bounded deque in eval_hybrid_seq.py:190-193. Gradients are
         cut here (reference detaches state at hybrid_depth_decoder.py:215-216).
+
+        reference_pose_pairing: strict-parity mode reproducing the reference's
+        pose bookkeeping. Its decoder returns `cam_poses[-1:]` AFTER extending
+        the list with the previous memory's poses
+        (hybrid_depth_decoder.py:221,292), so whenever memory is non-empty the
+        pose stored next to the new K/V volume is the NEWEST EXISTING memory
+        pose, not the volume's own camera pose — in steady state every memory
+        entry keeps the first window's last-target pose for the whole scene.
+        Default False pairs each volume with its own pose (geometrically
+        correct; ARCHITECTURE.md deviation #1).
         """
         key = jax.lax.stop_gradient(key)
         value = jax.lax.stop_gradient(value)
+        if reference_pose_pairing:
+            newest_valid = self.valid[:, -1]
+            pose = jnp.where(
+                newest_valid[:, None, None], self.poses[:, -1], pose
+            )
         return ESTMemory(
             keys=jnp.concatenate([self.keys[:, 1:], key[:, None]], axis=1),
             values=jnp.concatenate([self.values[:, 1:], value[:, None]], axis=1),

@@ -45,6 +45,25 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_weights_for_finetune(path: str):
+    """Load (params, batch_stats) from either an orbax checkpoint dir
+    written by tools/train.py or a reference torch .ckpt (converted via
+    utils/convert.py) — the `--loadckpt` source resolution
+    (train_hybrid.py:325-347; fine-tuning the released checkpoint).
+    """
+    if os.path.isdir(path):
+        mgr = ocp.CheckpointManager(os.path.abspath(path))
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        restored = mgr.restore(step)
+        return restored["params"], restored.get("batch_stats", {})
+    from estdepth_tpu.utils.convert import load_torch_checkpoint
+
+    variables, _ = load_torch_checkpoint(path, strict=False)
+    return variables["params"], variables["batch_stats"]
+
+
 def partial_restore(target_params: Any, loaded_params: Any, verbose: bool = True):
     """Merge loaded leaves into target where path + shape + dtype match.
 

@@ -348,3 +348,57 @@ def load_torch_checkpoint(path: str, strict: bool = True):
     blob = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = blob.get("model", blob) if isinstance(blob, dict) else blob
     return convert_state_dict(state_dict, strict=strict)
+
+
+def convert_torchvision_resnet(state_dict: Dict[str, "np.ndarray"]):
+    """torchvision resnet{18,34,50,101,152} state_dict -> the
+    `semantic_feature` variables subtree ({'params', 'batch_stats'}).
+
+    This is the ImageNet-pretrained encoder import path: the reference
+    trains from torchvision pretrained weights
+    (hybrid_models/resnet_encoder.py:35, pretrained=True), so training
+    parity requires initializing our ResNetEncoder the same way.
+    """
+    prefixed = {
+        f"semanticFeature.encoder.{k}": v for k, v in state_dict.items()
+    }
+    tree, _ = convert_state_dict(prefixed, strict=True)
+    return {
+        "params": tree["params"]["semantic_feature"],
+        "batch_stats": tree["batch_stats"]["semantic_feature"],
+    }
+
+
+def load_pretrained_encoder(path: str):
+    """Load a pretrained `semantic_feature` subtree from either a converted
+    .npz artifact (tools/import_torchvision.py) or a raw torchvision .pth
+    (converted on the fly; requires torch)."""
+    if path.endswith(".npz"):
+        flat = dict(np.load(path))
+        return unflatten_tree(flat)
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return convert_torchvision_resnet(sd)
+
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, "np.ndarray"]:
+    """Nested dict -> {'a/b/c': array} (npz-friendly)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(flatten_tree(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, "np.ndarray"]) -> Dict:
+    """Inverse of flatten_tree."""
+    tree: Dict = {}
+    for key, v in flat.items():
+        _put(tree, tuple(key.split("/")), np.asarray(v))
+    return tree

@@ -184,3 +184,105 @@ def test_converted_paths_exist_in_model():
     m = _flatten(merged)
     assert float(np.abs(m[("decoder", "dres2", "conv", "conv", "kernel")]).max()) \
         == 0.0
+
+
+def test_torchvision_pretrained_import_covers_encoder():
+    """convert_torchvision_resnet on a REAL torchvision-layout state_dict
+    covers every leaf of ResNetEncoder(50) — the ImageNet-pretrained
+    encoder init path (resnet_encoder.py:35)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from estdepth_tpu.models.resnet import ResNetEncoder
+    from estdepth_tpu.utils.convert import convert_torchvision_resnet
+    from estdepth_tpu.utils.reference_runner import install_torchvision_stub
+
+    install_torchvision_stub()
+    import torchvision.models as tvm
+
+    sd = {k: v.numpy() for k, v in tvm.resnet50().state_dict().items()}
+    tree = convert_torchvision_resnet(sd)
+
+    enc = ResNetEncoder(50)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = jax.jit(lambda r, a: enc.init(r, a, train=False))(
+        jax.random.key(0), x
+    )
+    for col in ("params", "batch_stats"):
+        want = _flatten(jax.tree.map(np.asarray, dict(variables))[col])
+        got = _flatten(tree[col])
+        assert set(got) == set(want), (
+            f"{col} missing: {sorted(set(want) - set(got))[:5]} "
+            f"extra: {sorted(set(got) - set(want))[:5]}"
+        )
+        for k in want:
+            assert got[k].shape == want[k].shape, k
+
+
+def test_flatten_npz_roundtrip(tmp_path):
+    from estdepth_tpu.utils.convert import flatten_tree, unflatten_tree
+
+    tree = {
+        "a": {"b": np.arange(6).reshape(2, 3), "c": np.float32(1.5)},
+        "d": np.ones(4),
+    }
+    path = str(tmp_path / "t.npz")
+    np.savez(path, **flatten_tree(tree))
+    back = unflatten_tree(dict(np.load(path)))
+    for k, v in _flatten(tree).items():
+        np.testing.assert_array_equal(_flatten(back)[k], v)
+
+
+def test_loadckpt_torch_ckpt_full_restore(tmp_path):
+    """Fine-tune-from-released-checkpoint flow: a reference-format torch
+    .ckpt round-trips through load_weights_for_finetune + partial_restore
+    with every leaf restored (train_hybrid.py:325-337)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from estdepth_tpu.utils.checkpoint import load_weights_for_finetune
+    from estdepth_tpu.utils.convert import export_state_dict
+
+    model = DepthNetHybrid(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, (1, 3, 64, 96, 3)).astype(np.float32)
+    )
+    poses = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32)[None, None], (1, 3, 1, 1))
+    )
+    intr = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 80)
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=True)
+    )(jax.random.key(1), imgs, poses, intr)
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    sd = export_state_dict(variables)
+    ckpt_path = str(tmp_path / "model_000001.ckpt")
+    torch.save(
+        {"epoch": 1,
+         "model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in sd.items()}},
+        ckpt_path,
+    )
+
+    params_l, stats_l = load_weights_for_finetune(ckpt_path)
+    # fresh differently-seeded init, then restore
+    fresh = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=True)
+    )(jax.random.key(9), imgs, poses, intr)
+    fresh = jax.tree.map(np.asarray, dict(fresh))
+    merged_p = partial_restore(fresh["params"], params_l, verbose=False)
+    merged_s = partial_restore(fresh["batch_stats"], stats_l, verbose=False)
+
+    for k, v in _flatten(variables["params"]).items():
+        np.testing.assert_array_equal(_flatten(merged_p)[k], v, err_msg=str(k))
+    for k, v in _flatten(variables["batch_stats"]).items():
+        np.testing.assert_array_equal(_flatten(merged_s)[k], v, err_msg=str(k))

@@ -4,7 +4,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from estdepth_tpu.eval.metric_offline import compute_errors, evaluate_depth
+from estdepth_tpu.eval.metric_offline import (
+    compute_errors,
+    evaluate_depth_metric,
+)
 from estdepth_tpu.eval.metrics import depth_metrics
 from estdepth_tpu.train.loss import multi_scale_loss
 
@@ -79,7 +82,7 @@ def test_offline_metrics_known_bias(rng):
     # scale-invariant error of a constant-ratio prediction is zero
     assert res["scale_invariant"] < 1e-7
     # optimal scaling removes the bias entirely
-    _, scaled = evaluate_depth(gt, pred)
+    _, scaled = evaluate_depth_metric(gt, pred)
     assert scaled["abs_relative"] < 1e-7
 
 

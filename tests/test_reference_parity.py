@@ -1,0 +1,385 @@
+"""TRUE numerical parity vs the ACTUAL reference implementation.
+
+Unlike tests/test_torch_parity.py (independent comparators rebuilt from the
+reference's documented behavior), these tests EXECUTE the reference's own
+PyTorch modules from /root/reference — psm_submodule, homo_utils,
+hybrid_depth_decoder, model_hybrid (with a torchvision-stub ResNet of
+identical architecture/state_dict layout) — load weights exported from a
+randomized JAX model via utils/convert.export_state_dict, and assert the two
+implementations agree numerically end-to-end:
+
+  * PSM matching features                (networks/psm_submodule.py:93-116)
+  * ResNet-50 context features           (hybrid_models/resnet_encoder.py:40-51)
+  * plane-sweep warp                     (utils/homo_utils.py:458-504)
+  * frustum warp                         (utils/homo_utils.py:240-279)
+  * full model, no-EST path              (hybrid_depth_decoder.py:294-417)
+  * full model, EST path + training loss (hybrid_depth_decoder.py:138-292,
+                                          model_hybrid.py:186-222)
+  * 3-window ESTM streaming chain        (eval_hybrid_seq.py:158-193), using
+    the strict reference_pose_pairing mode (ESTMemory.push)
+
+A shared misreading of the reference can no longer pass: the reference code
+itself is the oracle.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
+from estdepth_tpu.models import DepthNetHybrid, ESTMemory
+from estdepth_tpu.models.psm import PSMFeatureNet
+from estdepth_tpu.models.resnet import ResNetEncoder
+from estdepth_tpu.ops.geometry import camera_projection, scale_intrinsics
+from estdepth_tpu.ops.warp import frustum_warp, plane_sweep_warp
+from estdepth_tpu.train.loss import multi_scale_loss
+from estdepth_tpu.utils.reference_runner import (
+    build_reference_model,
+    import_reference,
+)
+
+# Small-but-valid shapes: PSM's SPP needs >= 128x128 input (32-pool at 1/4
+# res, psm_submodule.py:56-70); the decoder U-Net needs H, W % 32 == 0; and
+# ndepths must be >= 63 because the reference's pixel2cam carries a dead
+# debug indexing line `depth[:, 0, 62, :]` (homo_utils.py:56) that crashes
+# the EST warp for smaller plane counts — so we test at the flagship 64.
+H, W, V = 128, 160, 5
+NDEPTHS = 64
+DEPTH_MIN, DEPTH_MAX = 0.01, 10.0
+DEPTH_INTERVAL = (DEPTH_MAX - DEPTH_MIN) / (NDEPTHS - 1)
+N_FRAMES = 7
+
+torch.set_grad_enabled(False)
+
+
+def _randomize(variables, seed: int = 0):
+    """De-degenerate every normalization leaf while keeping activations O(1).
+
+    Plain init would hide bugs: zero-init BN scales (residual branches) and
+    identity BN stats make several parameter groups invisible to the output.
+    Conv kernels keep their (already random, variance-calibrated) init;
+    scales/stats get tight random spreads so the multiplicative walk through
+    ~50 BN layers stays bounded and no nonlinearity saturates (saturation
+    would make parity trivially true).
+    """
+    rng = np.random.default_rng(seed)
+
+    def perturb(path, leaf):
+        a = np.asarray(leaf)
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale" and not a.any():
+            # zero-γ residual scales: small but NONZERO, so the residual
+            # branch weights influence the output (a zero scale would hide
+            # layout bugs) without the 2^depth variance blow-up that full
+            # scales cause through 25 residual blocks.
+            return rng.uniform(0.05, 0.15, a.shape).astype(np.float32)
+        if name in ("scale", "var"):
+            return rng.uniform(0.8, 1.2, a.shape).astype(np.float32)
+        if name == "mean":
+            return rng.normal(0.0, 0.05, a.shape).astype(np.float32)
+        if name == "bias":
+            return rng.normal(0.0, 0.02, a.shape).astype(np.float32)
+        return a  # conv kernels: calibrated random init
+
+    return jax.tree_util.tree_map_with_path(perturb, variables)
+
+
+def _to_torch_imgs(imgs: np.ndarray) -> torch.Tensor:
+    """[B, V, H, W, 3] -> [B, V, 3, H, W]."""
+    return torch.from_numpy(imgs).permute(0, 1, 4, 2, 3).contiguous()
+
+
+def _ref_sample(frames, lo: int, hi: int):
+    """torch sample dict for frames[lo:hi] (dmaps/dmasks for every view)."""
+    dmaps = np.stack([f["dmap"] for f in frames[lo:hi]])[None, :, None]
+    dmasks = np.stack([f["dmask"] for f in frames[lo:hi]])[None, :, None]
+    return {
+        "dmaps": torch.from_numpy(dmaps.astype(np.float32)),
+        "dmasks": torch.from_numpy(dmasks.astype(np.bool_)),
+    }
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    frames = list(
+        synthetic_stream(
+            SyntheticSceneConfig(height=H, width=W), n_frames=N_FRAMES,
+            depth_min=DEPTH_MIN, depth_max=DEPTH_MAX,
+        )
+    )
+    imgs = np.stack([f["img"] for f in frames[:V]])[None].astype(np.float32)
+    poses_all = np.stack([f["cam_pose"] for f in frames]).astype(np.float32)
+    poses = poses_all[None, :V]
+    intr = frames[0]["cam_intr"][None].astype(np.float32)
+
+    model = DepthNetHybrid(
+        ndepths=NDEPTHS, depth_min=DEPTH_MIN, depth_max=DEPTH_MAX,
+        resnet=50, est_transformer=True,
+    )
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=False)
+    )(jax.random.key(0), jnp.asarray(imgs), jnp.asarray(poses),
+      jnp.asarray(intr))
+    variables = _randomize(jax.device_get(variables))
+
+    ref_model = build_reference_model(
+        variables, ndepths=NDEPTHS, depth_min=DEPTH_MIN,
+        depth_max=DEPTH_MAX, resnet=50, est_transformer=True,
+    )
+    return SimpleNamespace(
+        frames=frames, imgs=imgs, poses=poses, poses_all=poses_all,
+        intr=intr, model=model, variables=variables, ref_model=ref_model,
+        ref=import_reference(),
+    )
+
+
+def _sub_vars(variables, name):
+    return {
+        "params": variables["params"][name],
+        "batch_stats": variables["batch_stats"][name],
+    }
+
+
+def test_psm_features_match_reference(ctx):
+    """Our PSMFeatureNet vs the reference's psm_feature_extraction
+    (networks/psm_submodule.py:93-116) with identical weights."""
+    x = (2.0 * (ctx.imgs[0, :2] / 255.0) - 1.0).astype(np.float32)
+    ours = PSMFeatureNet().apply(
+        _sub_vars(ctx.variables, "matching_feature"), jnp.asarray(x),
+        False,
+    )
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+    want = ctx.ref_model.matchingFeature(xt).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-3, atol=2e-4)
+
+
+def test_resnet_features_match_reference(ctx):
+    """Our ResNetEncoder vs the reference's ResnetEncoder forward
+    (hybrid_models/resnet_encoder.py:40-51) over the torchvision-layout
+    ResNet-50 carrying the same exported weights."""
+    x = (2.0 * (ctx.imgs[0, 1:3] / 255.0) - 1.0).astype(np.float32)
+    ours = ResNetEncoder(50).apply(
+        _sub_vars(ctx.variables, "semantic_feature"), jnp.asarray(x), False,
+    )
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).contiguous()
+    want = ctx.ref_model.semanticFeature(xt)
+    assert len(ours) == len(want) == 5
+    for i, (a, b) in enumerate(zip(ours, want)):
+        np.testing.assert_allclose(
+            np.asarray(a), b.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-3, atol=2e-4, err_msg=f"feature map {i}",
+        )
+
+
+def test_plane_sweep_warp_matches_reference(ctx, rng):
+    """ops/warp.plane_sweep_warp vs the reference homo_warping
+    (utils/homo_utils.py:458-504), actual code."""
+    h, w, c = H // 4, W // 4, 8
+    feat = rng.normal(size=(1, h, w, c)).astype(np.float32)
+    intr_s1 = np.asarray(scale_intrinsics(jnp.asarray(ctx.intr), 0.25))
+    src_proj = camera_projection(
+        jnp.asarray(intr_s1), jnp.asarray(ctx.poses[:, 0])
+    )
+    ref_proj = camera_projection(
+        jnp.asarray(intr_s1), jnp.asarray(ctx.poses[:, 1])
+    )
+    dv = (
+        np.arange(NDEPTHS, dtype=np.float32) * DEPTH_INTERVAL + DEPTH_MIN
+    )[None]
+
+    ours = plane_sweep_warp(
+        jnp.asarray(feat), src_proj, ref_proj, jnp.asarray(dv)
+    )  # [B, D, h, w, C]
+
+    want = ctx.ref.homo_utils.homo_warping(
+        torch.from_numpy(feat).permute(0, 3, 1, 2).contiguous(),
+        torch.from_numpy(np.asarray(src_proj)),
+        torch.from_numpy(np.asarray(ref_proj)),
+        torch.from_numpy(dv[:, :, None, None]),
+    )  # [B, C, D, h, w]
+    want = want.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-4, atol=1e-4)
+
+
+def test_frustum_warp_matches_reference(ctx, rng):
+    """ops/warp.frustum_warp vs the reference warp_volume
+    (utils/homo_utils.py:240-279), actual code, decoder calling convention
+    (hybrid_depth_decoder.py:235-243)."""
+    h, w, c = H // 4, W // 4, 6
+    vol = rng.normal(size=(1, NDEPTHS, h, w, c)).astype(np.float32)
+    intr_s1 = np.asarray(scale_intrinsics(jnp.asarray(ctx.intr), 0.25))
+    rel = ctx.poses[0, 0] @ np.linalg.inv(ctx.poses[0, 2])  # src @ inv(tgt)
+    dv = (
+        np.arange(NDEPTHS, dtype=np.float32) * DEPTH_INTERVAL + DEPTH_MIN
+    )[None]
+
+    ours = frustum_warp(
+        jnp.asarray(vol), jnp.asarray(rel[None]), jnp.asarray(intr_s1),
+        jnp.asarray(dv), DEPTH_MIN, DEPTH_INTERVAL,
+    )
+
+    hu = ctx.ref.homo_utils
+    pixel_grid = (
+        hu.set_id_grid(h, w).view(1, 3, 1, h * w).repeat(1, 1, NDEPTHS, 1)
+    )
+    dv_lowres = torch.from_numpy(dv[:, :, None, None]).repeat(1, 1, h, w)
+    want = hu.warp_volume(
+        torch.from_numpy(vol).permute(0, 4, 1, 2, 3).contiguous(),
+        dv_lowres.view(1, 1, NDEPTHS, h * w),
+        torch.from_numpy(rel[None].astype(np.float32)),
+        torch.from_numpy(intr_s1),
+        pixel_grid, DEPTH_MIN, DEPTH_INTERVAL,
+    )  # [B, C, D, H, W]
+    want = want.permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-4, atol=1e-4)
+
+
+def _run_ours(ctx, use_est: bool, memory=None):
+    outputs, state = ctx.model.apply(
+        ctx.variables, jnp.asarray(ctx.imgs), jnp.asarray(ctx.poses),
+        jnp.asarray(ctx.intr), memory=memory, use_est=use_est, train=False,
+    )
+    return jax.device_get(outputs), state
+
+
+def _compare_outputs(outputs, ref_outputs, num, atol, prob_atol):
+    depth = outputs["depth"]  # [B, T, 4, H, W]
+    for i in range(num):
+        for s in range(4):
+            want = ref_outputs[("depth", i, s)][:, 0].numpy()
+            np.testing.assert_allclose(
+                depth[:, i, s], want, atol=atol, rtol=1e-3,
+                err_msg=f"depth target {i} scale {s}",
+            )
+        np.testing.assert_allclose(
+            outputs["init_prob"][:, i],
+            ref_outputs[("init_prob", i)][:, 0].numpy(),
+            atol=prob_atol, rtol=1e-3, err_msg=f"init_prob target {i}",
+        )
+        np.testing.assert_allclose(
+            outputs["fused_prob"][:, i],
+            ref_outputs[("fused_prob", i)][:, 0].numpy(),
+            atol=prob_atol, rtol=1e-3, err_msg=f"fused_prob target {i}",
+        )
+
+
+def test_full_forward_no_est_matches_reference(ctx):
+    """Full DepthNetHybrid forward, no-EST path (forward_notransformer,
+    hybrid_depth_decoder.py:294-417) vs mode='val' with no memory."""
+    outputs, _ = _run_ours(ctx, use_est=False)
+    ref_outputs, _, _ = ctx.ref_model(
+        _to_torch_imgs(ctx.imgs), torch.from_numpy(ctx.poses),
+        torch.from_numpy(ctx.intr), _ref_sample(ctx.frames, 0, V),
+        None, None, mode="val",
+    )
+    _compare_outputs(outputs, ref_outputs, V - 2, atol=5e-3, prob_atol=1e-3)
+
+
+def test_full_forward_est_and_loss_match_reference(ctx):
+    """Full forward through the EST path (forward_transformer,
+    hybrid_depth_decoder.py:138-292; triggered by mode='train' without
+    memory, :423) plus the training loss (model_hybrid.py:186-222).
+
+    The reference model stays in eval() so BatchNorm uses running stats on
+    both sides; mode='train' only selects the fused path + loss."""
+    outputs, _ = _run_ours(ctx, use_est=True)
+    ref_outputs, ref_losses = ctx.ref_model(
+        _to_torch_imgs(ctx.imgs), torch.from_numpy(ctx.poses),
+        torch.from_numpy(ctx.intr), _ref_sample(ctx.frames, 0, V),
+        None, None, mode="train",
+    )
+    _compare_outputs(outputs, ref_outputs, V - 2, atol=5e-3, prob_atol=1e-3)
+
+    gt = np.stack([f["dmap"] for f in ctx.frames[1 : V - 1]])[None]
+    mask = np.stack([f["dmask"] for f in ctx.frames[1 : V - 1]])[None]
+    total, scalars = multi_scale_loss(
+        jnp.asarray(outputs["depth"]), jnp.asarray(gt.astype(np.float32)),
+        jnp.asarray(mask), DEPTH_MIN, DEPTH_MAX,
+    )
+    for s in range(4):
+        np.testing.assert_allclose(
+            float(scalars[f"loss_{s}"]),
+            float(ref_losses[f"loss_{s}"]), rtol=2e-3, atol=2e-3,
+            err_msg=f"loss scale {s}",
+        )
+    np.testing.assert_allclose(
+        float(total), float(ref_losses["loss"]), rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_estm_chain_matches_reference(ctx):
+    """3-window ESTM streaming chain vs the reference driver protocol
+    (eval_hybrid_seq.py:158-193): sliding 3-frame window, FIFO memory of 2,
+    first window no-EST, later windows fused; memory poses follow the
+    reference's stale pairing (reference_pose_pairing=True)."""
+    lwindow, memory_size = 3, 2
+    frames = ctx.frames
+
+    # --- reference: in-process replica of the eval_hybrid_seq deque flow
+    ref_depths = []
+    deq_costs, deq_poses = [], []
+    window = []
+    for idx in range(N_FRAMES):
+        window.append(idx)
+        if len(window) < lwindow:
+            continue
+        lo, hi = window[0], window[-1] + 1
+        imgs = np.stack([frames[i]["img"] for i in window])[None].astype(
+            np.float32
+        )
+        poses = ctx.poses_all[None, window[0] : window[-1] + 1]
+        if deq_poses:
+            pre_costs = {
+                "keys": [d["keys"][0] for d in deq_costs],
+                "values": [d["values"][0] for d in deq_costs],
+            }
+            pre_poses = [p[0] for p in deq_poses]
+        else:
+            pre_costs, pre_poses = None, None
+        outputs, cur_costs, cur_poses = ctx.ref_model(
+            _to_torch_imgs(imgs), torch.from_numpy(poses),
+            torch.from_numpy(ctx.intr), _ref_sample(frames, lo, hi),
+            pre_costs, pre_poses, mode="val",
+        )
+        deq_costs.append(cur_costs)
+        deq_poses.append(cur_poses)
+        window.pop(0)
+        if len(deq_costs) > memory_size:
+            deq_costs.pop(0)
+            deq_poses.pop(0)
+        ref_depths.append(
+            np.stack(
+                [outputs[("depth", 0, s)][:, 0].numpy() for s in range(4)],
+                axis=1,
+            )
+        )
+
+    # --- ours: the streaming step with strict reference pose pairing
+    from estdepth_tpu.eval.estm import ESTMRunner
+
+    runner = ESTMRunner(
+        ctx.model, ctx.variables, H, W, lwindow=lwindow,
+        memory_size=memory_size, reference_pose_pairing=True,
+    )
+    our_depths = []
+    for idx in range(N_FRAMES):
+        d = runner.push_frame(
+            frames[idx]["img"], frames[idx]["cam_pose"],
+            frames[idx]["cam_intr"],
+        )
+        if d is not None:
+            our_depths.append(np.asarray(d))
+
+    assert len(our_depths) == len(ref_depths) == N_FRAMES - lwindow + 1
+    for wi, (got, want) in enumerate(zip(our_depths, ref_depths)):
+        np.testing.assert_allclose(
+            got, want, atol=8e-3, rtol=1e-3, err_msg=f"window {wi}",
+        )

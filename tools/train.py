@@ -54,6 +54,21 @@ def parse_args():
     p.add_argument("--fix-semantic-feature", action="store_true",
                    help="freeze the ResNet context encoder (train_hybrid.py:302-306)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--loadckpt", type=str, default=None,
+                   help="initialize weights from a checkpoint: an orbax dir "
+                        "written by this tool, or a reference torch .ckpt "
+                        "(converted on the fly). Shape-filtered partial load "
+                        "like train_hybrid.py:331-337. Ignored when --resume "
+                        "finds a checkpoint.")
+    p.add_argument("--restore-part", action="store_true",
+                   help="with --loadckpt, restore ONLY the two encoders "
+                        "(matching_feature + semantic_feature) — the "
+                        "reference's --restore_part (train_hybrid.py:338-347)")
+    p.add_argument("--pretrained-encoder", type=str, default=None,
+                   help="ImageNet-pretrained semantic encoder init: a "
+                        "torchvision resnet .pth or a converted .npz from "
+                        "tools/import_torchvision.py (the reference's "
+                        "pretrained=True, resnet_encoder.py:35)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--summary-freq", type=int, default=10)
     p.add_argument("--image-freq", type=int, default=100,
@@ -178,12 +193,48 @@ def main():
     )
     print(f"params: {n_params/1e6:.2f}M")
 
+    if args.pretrained_encoder:
+        from estdepth_tpu.utils.checkpoint import partial_restore
+        from estdepth_tpu.utils.convert import load_pretrained_encoder
+
+        enc = load_pretrained_encoder(args.pretrained_encoder)
+        state = state.replace(
+            params={**state.params, "semantic_feature": partial_restore(
+                state.params["semantic_feature"], enc["params"]
+            )},
+            batch_stats={
+                **state.batch_stats,
+                "semantic_feature": partial_restore(
+                    state.batch_stats["semantic_feature"],
+                    enc["batch_stats"],
+                ),
+            },
+        )
+        print(f"pretrained encoder loaded from {args.pretrained_encoder}")
+
     ckpt = CheckpointManager(os.path.join(args.logdir, "ckpt"))
     start_epoch = 0
     if args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})")
+    elif args.loadckpt:
+        from estdepth_tpu.utils.checkpoint import (
+            load_weights_for_finetune, partial_restore,
+        )
+
+        params_l, stats_l = load_weights_for_finetune(args.loadckpt)
+        if args.restore_part:
+            # encoders only (train_hybrid.py:338-347)
+            keep = ("matching_feature", "semantic_feature")
+            params_l = {k: v for k, v in params_l.items() if k in keep}
+            stats_l = {k: v for k, v in stats_l.items() if k in keep}
+        state = state.replace(
+            params=partial_restore(state.params, params_l),
+            batch_stats=partial_restore(state.batch_stats, stats_l),
+        )
+        print(f"loaded weights from {args.loadckpt} "
+              f"(restore_part={args.restore_part})")
 
     state = replicate(state, mesh)
     step_fn = make_train_step(
