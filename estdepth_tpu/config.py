@@ -20,6 +20,8 @@ class ModelConfig:
     depth_min: float = 0.01
     depth_max: float = 10.0
     resnet: int = 50
+    # matching encoder family (model_hybrid.py:22 "featureNet: psm or senet")
+    feature_net: str = "psm"
     est_transformer: bool = True
     # Compute dtype for conv stacks; normalization + softargmin stay fp32.
     compute_dtype: str = "float32"

@@ -67,13 +67,20 @@ class TrainLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_ids in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_ids))
-                    q.put(collate(samples))
-            q.put(None)
+            # exceptions must reach the consumer: a producer that dies
+            # silently leaves the main thread blocked on q.get() forever
+            try:
+                with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
+                    for batch_ids in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_ids)
+                        )
+                        q.put(collate(samples))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -82,6 +89,8 @@ class TrainLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -64,22 +64,40 @@ class ESTMRunner:
         self._window_poses = []  # host [4, 4]
         self._intr_dev = None
         self._memory_filled = False
+        self._feats = None  # carried matching features of shared frames
         self.memory = self._fresh_memory()
 
         frozen = (
             jax.tree.map(jax.device_put, variables) if freeze_weights else None
         )
 
-        def step(variables, frames, poses, intr, memory, use_est):
-            # frames: tuple of lwindow [H, W, 3] device arrays
+        def step(variables, frames, poses, intr, memory, use_est,
+                 feats=None):
+            # frames: tuple of lwindow [H, W, 3] device arrays.
+            # feats: [B, lwindow-1, H/4, W/4, C] matching features of the
+            # lwindow-1 frames shared with the previous window. Eval-mode
+            # BN makes per-frame features deterministic, so carrying them
+            # is EXACT — the matching encoder runs on only the NEW frame
+            # in steady state instead of the whole window.
             imgs = jnp.stack(frames)[None]
             if batch > 1:
                 imgs = jnp.tile(imgs, (batch, 1, 1, 1, 1))
             poses_b = jnp.tile(poses[None], (batch, 1, 1, 1))
+            b, lw, h_img, w_img, _ = imgs.shape
+            if feats is None:  # first window: all frames
+                all_feats = model.apply(
+                    variables, imgs.reshape(b * lw, h_img, w_img, 3),
+                    method="compute_matching",
+                ).reshape(b, lw, h_img // 4, w_img // 4, -1)
+            else:
+                new_feat = model.apply(
+                    variables, imgs[:, -1], method="compute_matching",
+                )
+                all_feats = jnp.concatenate([feats, new_feat[:, None]], 1)
             outputs, (key, value, pose) = model.apply(
                 variables, imgs, poses_b, intr,
                 memory=memory if use_est else None,
-                use_est=use_est, train=False,
+                use_est=use_est, train=False, matching_feats=all_feats,
             )
             new_memory = memory.push(
                 key, value, pose,
@@ -87,20 +105,21 @@ class ESTMRunner:
             )
             # center-frame depth at all 4 scales (eval_hybrid_seq.py:200-258
             # saves ("depth",0,0) refined and ("depth",0,2) fused-head maps)
-            return outputs["depth"][:, 0], new_memory
+            return outputs["depth"][:, 0], new_memory, all_feats[:, 1:]
 
         if freeze_weights:
             self._step = jax.jit(
-                lambda frames, poses, intr, memory, use_est: step(
-                    frozen, frames, poses, intr, memory, use_est
+                lambda frames, poses, intr, memory, use_est, feats=None: step(
+                    frozen, frames, poses, intr, memory, use_est, feats
                 ),
                 static_argnames=("use_est",),
-                donate_argnames=("memory",),
+                donate_argnames=("memory", "feats"),
             )
             self._pass_variables = False
         else:
             self._step = jax.jit(
-                step, static_argnames=("use_est",), donate_argnames=("memory",)
+                step, static_argnames=("use_est",),
+                donate_argnames=("memory", "feats"),
             )
             self._pass_variables = True
 
@@ -116,6 +135,7 @@ class ESTMRunner:
         self._window_poses.clear()
         self.memory = self._fresh_memory()
         self._memory_filled = False
+        self._feats = None
 
     def push_frame(
         self, img: np.ndarray, pose: np.ndarray, intr: np.ndarray
@@ -136,16 +156,12 @@ class ESTMRunner:
             self._intr_dev = jax.device_put(k)
 
         poses = np.stack(self._window_poses)  # [lw, 4, 4] tiny transfer
+        args = (tuple(self._window_imgs), poses, self._intr_dev, self.memory)
         if self._pass_variables:
-            depth, self.memory = self._step(
-                self.variables, tuple(self._window_imgs), poses,
-                self._intr_dev, self.memory, use_est=self._memory_filled,
-            )
-        else:
-            depth, self.memory = self._step(
-                tuple(self._window_imgs), poses, self._intr_dev,
-                self.memory, use_est=self._memory_filled,
-            )
+            args = (self.variables,) + args
+        depth, self.memory, self._feats = self._step(
+            *args, use_est=self._memory_filled, feats=self._feats,
+        )
         self._memory_filled = True
         # slide the window by one (eval_hybrid_seq.py:190)
         self._window_imgs.pop(0)

@@ -10,12 +10,24 @@ ring buffer threaded through lax.scan".
 Semantics match the streaming driver exactly: the first window runs without
 EST fusion (reference flag, hybrid_depth_decoder.py:423), every later
 window fuses in-window neighbors + the memory.
+
+Two entry points:
+  * make_sequence_processor — one scan over a whole fixed-length clip
+    (one compilation per clip length);
+  * SequenceProcessor — arbitrary-length scenes in fixed-size chunks with
+    the memory (and the lwindow-1 window overlap) carried across chunk
+    boundaries: exactly TWO compilations total (first chunk / continuation
+    chunk) regardless of scene length, and dispatch cost amortized over
+    `chunk` frames instead of paid per frame.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
@@ -36,11 +48,11 @@ def make_sequence_processor(
     bookkeeping (see ESTMemory.push) for parity validation.
     """
 
-    def window_step(variables, imgs, poses, intr, memory, use_est):
+    def window_step(variables, imgs, poses, intr, memory, use_est, feats):
         outputs, (key, value, pose) = model.apply(
             variables, imgs, poses, intr,
             memory=memory if use_est else None,
-            use_est=use_est, train=False,
+            use_est=use_est, train=False, matching_feats=feats,
         )
         return outputs["depth"][:, 0], memory.push(
             key, value, pose, reference_pose_pairing=reference_pose_pairing,
@@ -55,17 +67,26 @@ def make_sequence_processor(
             dtype=frames.dtype,
         )
 
+        # matching features ONCE per frame, in one big batched encoder call
+        # (sliding windows share lwindow-1 frames; recomputing per window
+        # would triple the encoder work at lwindow=3)
+        feats = model.apply(
+            variables, frames.reshape(b * t, h, w, 3),
+            method="compute_matching",
+        ).reshape(b, t, h // 4, w // 4, -1)
+
         # first window: no EST fusion (empty memory)
         d0, memory = window_step(
             variables, frames[:, :lwindow], poses[:, :lwindow], intr,
-            memory, use_est=False,
+            memory, False, feats[:, :lwindow],
         )
 
         def body(memory, start):
             imgs_w = jax.lax.dynamic_slice_in_dim(frames, start, lwindow, 1)
             poses_w = jax.lax.dynamic_slice_in_dim(poses, start, lwindow, 1)
+            feats_w = jax.lax.dynamic_slice_in_dim(feats, start, lwindow, 1)
             depth, memory = window_step(
-                variables, imgs_w, poses_w, intr, memory, use_est=True,
+                variables, imgs_w, poses_w, intr, memory, True, feats_w,
             )
             return memory, depth
 
@@ -76,3 +97,148 @@ def make_sequence_processor(
         return jnp.moveaxis(all_depths, 0, 1)  # [B, NW, 4, H, W]
 
     return jax.jit(process)
+
+
+class SequenceProcessor:
+    """Chunked whole-scene ESTM evaluation with static shapes.
+
+    Scenes have arbitrary length but XLA programs need static shapes, so the
+    scene is processed in chunks of `chunk` frames. Consecutive chunks
+    overlap by lwindow-1 frames (the sliding window spans the boundary) and
+    the ESTMemory FIFO is carried through, so the window sequence is
+    IDENTICAL to frame-by-frame streaming. Only two programs ever compile:
+    the first chunk (first window without EST fusion, reference flag
+    hybrid_depth_decoder.py:423) and the continuation chunk (all windows
+    fused). The tail is padded by repeating the last frame and the padded
+    windows' outputs dropped.
+    """
+
+    def __init__(
+        self,
+        model: DepthNetHybrid,
+        variables,
+        lwindow: int = 3,
+        memory_size: int = 2,
+        chunk: int = 16,
+        reference_pose_pairing: bool = False,
+    ):
+        assert chunk >= lwindow
+        self.model = model
+        self.variables = variables
+        self.lwindow = lwindow
+        self.memory_size = memory_size
+        self.chunk = chunk
+        # windows emitted per chunk / frame stride between chunk starts
+        self.stride = chunk - (lwindow - 1)
+
+        def window_step(variables, imgs, poses, intr, memory, use_est,
+                        feats):
+            outputs, (key, value, pose) = model.apply(
+                variables, imgs, poses, intr,
+                memory=memory if use_est else None,
+                use_est=use_est, train=False, matching_feats=feats,
+            )
+            return outputs["depth"][:, 0], memory.push(
+                key, value, pose,
+                reference_pose_pairing=reference_pose_pairing,
+            )
+
+        def chunk_fn(variables, frames, poses, intr, memory, feats_carry,
+                     first):
+            # frames: [B, chunk, H, W, 3]; feats_carry: matching features of
+            # the lwindow-1 frames shared with the previous chunk (None on
+            # the first). Each frame's features are computed exactly once,
+            # in one batched encoder call per chunk.
+            lw = lwindow
+            b, ck, h_img, w_img, _ = frames.shape
+            new_frames = frames if first else frames[:, lw - 1 :]
+            nf = new_frames.shape[1]
+            new_feats = model.apply(
+                variables, new_frames.reshape(b * nf, h_img, w_img, 3),
+                method="compute_matching",
+            ).reshape(b, nf, h_img // 4, w_img // 4, -1)
+            feats = (
+                new_feats if first
+                else jnp.concatenate([feats_carry, new_feats], 1)
+            )
+
+            d0, memory = window_step(
+                variables, frames[:, :lw], poses[:, :lw], intr, memory,
+                not first, feats[:, :lw],
+            )
+
+            def body(memory, start):
+                iw = jax.lax.dynamic_slice_in_dim(frames, start, lw, 1)
+                pw = jax.lax.dynamic_slice_in_dim(poses, start, lw, 1)
+                fw = jax.lax.dynamic_slice_in_dim(feats, start, lw, 1)
+                depth, memory = window_step(
+                    variables, iw, pw, intr, memory, True, fw,
+                )
+                return memory, depth
+
+            memory, rest = jax.lax.scan(
+                body, memory, jnp.arange(1, self.stride)
+            )
+            depths = jnp.concatenate([d0[None], rest], axis=0)
+            # carry the last lwindow-1 frames' features into the next chunk
+            return (jnp.moveaxis(depths, 0, 1), memory,
+                    feats[:, self.stride :])
+
+        self._chunk_first = jax.jit(
+            lambda v, f, p, k, m: chunk_fn(v, f, p, k, m, None, True),
+            donate_argnums=(4,),
+        )
+        self._chunk_cont = jax.jit(
+            lambda v, f, p, k, m, fc: chunk_fn(v, f, p, k, m, fc, False),
+            donate_argnums=(4, 5),
+        )
+
+    def process_scene(
+        self,
+        frames: np.ndarray,   # [T, H, W, 3] float 0..255
+        poses: np.ndarray,    # [T, 4, 4]
+        intr: np.ndarray,     # [3, 3]
+    ) -> np.ndarray:
+        """Returns [T - lwindow + 1, 4, H, W] center-frame depths."""
+        t, h, w, _ = frames.shape
+        lw = self.lwindow
+        assert t >= lw, f"scene shorter than the window ({t} < {lw})"
+        n_windows = t - lw + 1
+
+        intr_d = jnp.asarray(np.asarray(intr, np.float32)[None])
+        memory = ESTMemory.create(
+            1, self.memory_size, self.model.ndepths, h // 4, w // 4, 16,
+        )
+
+        outs = []
+        emitted = 0
+        start = 0
+        feats = None
+        while emitted < n_windows:
+            end = start + self.chunk
+            if end <= t:
+                fr = frames[start:end]
+                po = poses[start:end]
+            else:  # pad the tail by repeating the last frame
+                pad = end - t
+                fr = np.concatenate(
+                    [frames[start:], np.repeat(frames[-1:], pad, axis=0)], 0
+                )
+                po = np.concatenate(
+                    [poses[start:], np.repeat(poses[-1:], pad, axis=0)], 0
+                )
+            fr = jnp.asarray(np.asarray(fr, np.float32)[None])
+            po = jnp.asarray(np.asarray(po, np.float32)[None])
+            if feats is None:
+                depths, memory, feats = self._chunk_first(
+                    self.variables, fr, po, intr_d, memory,
+                )
+            else:
+                depths, memory, feats = self._chunk_cont(
+                    self.variables, fr, po, intr_d, memory, feats,
+                )
+            take = min(self.stride, n_windows - emitted)
+            outs.append(np.asarray(depths[0, :take]))
+            emitted += take
+            start += self.stride
+        return np.concatenate(outs, axis=0)

@@ -112,6 +112,11 @@ class DepthHybridDecoder(nn.Module):
     base_channels: int = 32
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # route EST attention through the fused Pallas kernel
+    # (ops/pallas/epipolar_attention.py) — measured tradeoff documented
+    # there and in ARCHITECTURE.md; default off (XLA producer-fusion wins)
+    use_pallas_attention: bool = False
+    pallas_interpret: bool = False  # CPU-test mode for the kernel
 
     def setup(self):
         # num_ch_dec = [16, 32, ndepths, 128, 256] (decoder :52)
@@ -140,7 +145,11 @@ class DepthHybridDecoder(nn.Module):
         self.stereo_head0 = StereoHead(bc // 2, **kw)
         self.stereo_head1 = StereoHead(bc // 2, **kw)
         if self.est_transformer:
-            self.est = EpipolarTransformer(bc // 2, dtype=self.dtype)
+            self.est = EpipolarTransformer(
+                bc // 2, dtype=self.dtype,
+                use_pallas=self.use_pallas_attention,
+                pallas_interpret=self.pallas_interpret,
+            )
 
     def _semantic_unet(self, feats: List[jnp.ndarray], train: bool):
         """Scales 4->2 of the monodepth2-style U-Net (decoder :163-184).

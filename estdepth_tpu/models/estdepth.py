@@ -38,11 +38,17 @@ class DepthNetHybrid(nn.Module):
     depth_min: float = 0.01
     depth_max: float = 10.0
     resnet: int = 50
+    # matching encoder family: "psm" (default path) or "senet"
+    # (model_hybrid.py:22 "featureNet: psm or senet")
+    feature_net: str = "psm"
     est_transformer: bool = True
     # reference-faithful in-window fusion order (see DepthHybridDecoder)
     sequential_fusion: bool = True
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    # fused Pallas EST attention (see DepthHybridDecoder) — default off
+    use_pallas_attention: bool = False
+    pallas_interpret: bool = False
 
     @property
     def depth_interval(self) -> float:
@@ -58,13 +64,24 @@ class DepthNetHybrid(nn.Module):
 
     def setup(self):
         kw = dict(bn_axis_name=self.bn_axis_name, dtype=self.dtype)
-        self.matching_feature = PSMFeatureNet(**kw)
+        if self.feature_net == "psm":
+            self.matching_feature = PSMFeatureNet(**kw)
+        elif self.feature_net == "senet":
+            from estdepth_tpu.models.senet import SEFeatureNet
+
+            self.matching_feature = SEFeatureNet(**kw)
+        else:
+            raise ValueError(
+                f"feature_net must be 'psm' or 'senet', got {self.feature_net!r}"
+            )
         self.semantic_feature = ResNetEncoder(self.resnet, **kw)
         self.decoder = DepthHybridDecoder(
             ndepths=self.ndepths,
             depth_max=self.depth_max,
             est_transformer=self.est_transformer,
             sequential_fusion=self.sequential_fusion,
+            use_pallas_attention=self.use_pallas_attention,
+            pallas_interpret=self.pallas_interpret,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60)
@@ -125,6 +142,22 @@ class DepthNetHybrid(nn.Module):
         x = x.reshape(2, b, t, d, h, w, -1).mean(axis=0)
         return x
 
+    def compute_matching(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        """Stride-4 matching features of [N, H, W, 3] frames (0..255).
+
+        Exposed so streaming drivers can cache per-frame features across
+        overlapping windows (eval-mode BN makes them per-frame
+        deterministic, so caching is EXACT). Apply with
+        `model.apply(vars, frames, method="compute_matching")`.
+        """
+        x = 2.0 * (imgs / 255.0) - 1.0
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        feats = self.matching_feature(x, False)
+        if isinstance(feats, tuple):  # SEFeatureNet: (1/2, 1/4) maps
+            feats = feats[-1]
+        return feats
+
     def __call__(
         self,
         imgs: jnp.ndarray,        # [B, V, H, W, 3] float in [0, 255]
@@ -133,6 +166,7 @@ class DepthNetHybrid(nn.Module):
         memory: Optional[ESTMemory] = None,
         use_est: Optional[bool] = None,
         train: bool = False,
+        matching_feats: Optional[jnp.ndarray] = None,
     ) -> Tuple[Dict[str, jnp.ndarray], ESTMemory]:
         """Forward pass.
 
@@ -146,6 +180,10 @@ class DepthNetHybrid(nn.Module):
         `use_est` defaults to the reference's flag logic
         (hybrid_depth_decoder.py:423): EST fusion runs when training or when
         a memory is provided.
+
+        `matching_feats` ([B, V, H/4, W/4, C], from `compute_matching`)
+        skips the in-call matching encoder — streaming drivers pass cached
+        features for the lwindow-1 frames shared with the previous window.
         """
         b, v, h_img, w_img, _ = imgs.shape
         assert v > 2, "need at least 3 views (model_hybrid.py:123)"
@@ -159,9 +197,21 @@ class DepthNetHybrid(nn.Module):
         if self.dtype is not None:
             imgs = imgs.astype(self.dtype)
 
-        matching = self.matching_feature(
-            imgs.reshape(b * v, h_img, w_img, 3), train
-        ).reshape(b, v, h, w, -1)
+        if matching_feats is not None:
+            matching = matching_feats.astype(
+                self.dtype if self.dtype is not None else matching_feats.dtype
+            )
+            if self.is_initializing():
+                # still materialize encoder params on init traces
+                self.matching_feature(imgs.reshape(b * v, h_img, w_img, 3),
+                                      train)
+        else:
+            matching = self.matching_feature(
+                imgs.reshape(b * v, h_img, w_img, 3), train
+            )
+            if isinstance(matching, tuple):  # SEFeatureNet: (1/2, 1/4) maps
+                matching = matching[-1]
+            matching = matching.reshape(b, v, h, w, -1)
 
         semantic = self.semantic_feature(
             imgs[:, 1 : 1 + t].reshape(b * t, h_img, w_img, 3), train

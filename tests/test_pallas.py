@@ -73,3 +73,51 @@ def test_transformer_pallas_path_matches_default(rng):
     pal_m = EpipolarTransformer(c, use_pallas=True, pallas_interpret=True)
     got = pal_m.apply(params, tk, tv, wk, wv, valid)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_model_pallas_attention_matches_default(rng):
+    """Full DepthNetHybrid streaming step with use_pallas_attention=True
+    (interpret mode) == the default XLA attention path, same weights."""
+    import jax
+
+    from estdepth_tpu.models import DepthNetHybrid, ESTMemory
+
+    base = dict(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    m0 = DepthNetHybrid(**base)
+    m1 = DepthNetHybrid(
+        **base, use_pallas_attention=True, pallas_interpret=True
+    )
+
+    imgs = jnp.array(
+        rng.uniform(0, 255, (1, 3, 64, 96, 3)), jnp.float32
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, None], (1, 3, 1, 1))
+    for i in range(3):
+        poses[0, i, 0, 3] = 0.05 * i
+    poses = jnp.array(poses)
+    intr = jnp.array(
+        [[[80.0, 0, 47.5], [0, 80.0, 31.5], [0, 0, 1]]], jnp.float32
+    )
+    variables = m0.init(jax.random.key(0), imgs, poses, intr, train=False)
+
+    mem = ESTMemory.create(1, 2, 8, 16, 24, 16)
+    mem = mem.replace(
+        keys=jnp.array(rng.normal(size=mem.keys.shape), jnp.float32),
+        values=jnp.array(
+            np.tanh(rng.normal(size=mem.values.shape)), jnp.float32
+        ),
+        poses=poses[:, :2],
+        valid=jnp.ones_like(mem.valid),
+    )
+
+    out0, _ = m0.apply(variables, imgs, poses, intr, memory=mem,
+                       use_est=True, train=False)
+    out1, _ = m1.apply(variables, imgs, poses, intr, memory=mem,
+                       use_est=True, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1["depth"]), np.asarray(out0["depth"]),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -43,3 +43,42 @@ def test_scan_sequence_matches_streaming():
     np.testing.assert_allclose(
         np.asarray(scan_depths[0]), stream_depths, rtol=1e-3, atol=2e-3
     )
+
+
+def test_chunked_processor_matches_streaming():
+    """SequenceProcessor (fixed-size chunks, carried memory + window
+    overlap, tail padding) == per-frame streaming, window for window."""
+    from estdepth_tpu.eval.sequence import SequenceProcessor
+
+    h, w, nd = 64, 96, 8
+    model = DepthNetHybrid(
+        ndepths=nd, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    cfg = SyntheticSceneConfig(height=h, width=w, focal=80.0)
+    frames = list(synthetic_stream(cfg, n_frames=9, depth_min=0.5,
+                                   depth_max=8.0))
+    imgs = np.stack([f["img"] for f in frames]).astype(np.float32)
+    poses = np.stack([f["cam_pose"] for f in frames])
+    intr = frames[0]["cam_intr"]
+
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=False)
+    )(jax.random.key(0), jnp.asarray(imgs[None, :3]),
+      jnp.asarray(poses[None, :3]), jnp.asarray(intr[None]))
+
+    # chunk 5 / stride 3: exercises first chunk, continuation, and padding
+    proc = SequenceProcessor(model, variables, lwindow=3, memory_size=2,
+                             chunk=5)
+    chunked = proc.process_scene(imgs, poses, intr)  # [7, 4, H, W]
+    assert chunked.shape == (7, 4, h, w)
+
+    runner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
+    stream = []
+    for f in frames:
+        d = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        if d is not None:
+            stream.append(np.asarray(d[0]))
+    stream = np.stack(stream)
+
+    np.testing.assert_allclose(chunked, stream, rtol=1e-3, atol=2e-3)

@@ -49,6 +49,13 @@ def parse_args():
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
+    p.add_argument("--scan", action="store_true",
+                   help="offline whole-scene mode: process each scene in "
+                        "compiled fixed-size chunks (eval/sequence.py "
+                        "SequenceProcessor) — identical outputs to "
+                        "streaming, amortized dispatch")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="frames per compiled chunk in --scan mode")
     return p.parse_args()
 
 
@@ -110,13 +117,50 @@ def score(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray):
     return compute_errors(pred_up, gt)
 
 
+def run_scene_scan(proc, frames, args, outdir=None, scene=""):
+    """Whole-scene chunked-scan evaluation (same outputs as streaming)."""
+    from estdepth_tpu.utils.viz import colorize_depth, save_image
+
+    frames = list(frames)
+    if args.max_frames:
+        frames = frames[: args.max_frames + args.lwindow - 1]
+    if len(frames) < args.lwindow:
+        return [], []
+    imgs = np.stack([f["img"] for f in frames]).astype(np.float32)
+    poses = np.stack([f["cam_pose"] for f in frames]).astype(np.float32)
+    t0 = time.perf_counter()
+    depths = proc.process_scene(imgs, poses, frames[0]["cam_intr"])
+    dt = time.perf_counter() - t0
+    times = [dt / len(depths)] * len(depths)
+
+    errs = []
+    for wi, d in enumerate(depths):
+        # the emitted depth belongs to the window's CENTER frame
+        # (eval_hybrid_seq.py:202 saves under img_paths[lwindow // 2])
+        f = frames[wi + args.lwindow // 2]
+        refined, init = d[0], d[2]
+        if f.get("dmap") is not None:
+            errs.append(score(refined, f["dmap"], f["dmask"]))
+        if outdir and args.save_maps:
+            base = os.path.join(outdir, f"{scene}_{wi + args.lwindow // 2:06d}")
+            np.save(base + "_depth.npy", refined.astype(np.float16))
+            np.save(base + "_init.npy", init.astype(np.float16))
+            save_image(base + "_depth.jpg",
+                       colorize_depth(refined, args.depth_min, args.depth_max))
+    return times, errs
+
+
 def run_scene(runner, frames, args, outdir=None, scene=""):
     from estdepth_tpu.utils.viz import colorize_depth, save_image
 
     runner.reset()
     times, errs = [], []
     emitted = 0
+    window = []  # recent frames; the emitted depth is the CENTER frame's
     for idx, f in enumerate(frames):
+        window.append((idx, f))
+        if len(window) > args.lwindow:
+            window.pop(0)
         t0 = time.perf_counter()
         depth = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
         if depth is not None:
@@ -124,10 +168,13 @@ def run_scene(runner, frames, args, outdir=None, scene=""):
             times.append(time.perf_counter() - t0)
             refined = np.asarray(depth[0, 0])  # scale-0 (refined) map
             init = np.asarray(depth[0, 2])     # scale-2 (fused head) map
-            if f.get("dmap") is not None:
-                errs.append(score(refined, f["dmap"], f["dmask"]))
+            # score/save against the window's center frame
+            # (eval_hybrid_seq.py:202: img_paths[lwindow // 2])
+            cidx, cf = window[args.lwindow // 2]
+            if cf.get("dmap") is not None:
+                errs.append(score(refined, cf["dmap"], cf["dmask"]))
             if outdir and args.save_maps:
-                base = os.path.join(outdir, f"{scene}_{idx:06d}")
+                base = os.path.join(outdir, f"{scene}_{cidx:06d}")
                 np.save(base + "_depth.npy", refined.astype(np.float16))
                 np.save(base + "_init.npy", init.astype(np.float16))
                 save_image(base + "_depth.jpg",
@@ -144,12 +191,26 @@ def main():
     print("args:", vars(args))  # print_args equivalent (utils/utils.py:8-12)
 
     from estdepth_tpu.eval.estm import ESTMRunner
+    from estdepth_tpu.eval.sequence import SequenceProcessor
 
     model, variables = build_model_and_params(args)
-    runner = ESTMRunner(
-        model, variables, args.height, args.width, args.lwindow,
-        args.memory_size,
-    )
+    if args.scan:
+        proc = SequenceProcessor(
+            model, variables, args.lwindow, args.memory_size,
+            chunk=args.chunk,
+        )
+        runner = None
+    else:
+        runner = ESTMRunner(
+            model, variables, args.height, args.width, args.lwindow,
+            args.memory_size,
+        )
+
+    def process(frames, outdir, scene):
+        if args.scan:
+            return run_scene_scan(proc, frames, args, outdir, scene)
+        return run_scene(runner, frames, args, outdir, scene)
+
     if args.outdir:
         os.makedirs(args.outdir, exist_ok=True)
 
@@ -164,8 +225,7 @@ def main():
                 height=args.height, width=args.width, seed=seed
             )
             frames = list(synthetic_stream(cfg, n_frames=12))
-            times, errs = run_scene(runner, frames, args, args.outdir,
-                                    f"synthetic{seed}")
+            times, errs = process(frames, args.outdir, f"synthetic{seed}")
             all_times += times
             all_errs += errs
     else:
@@ -196,7 +256,7 @@ def main():
                     print(f"{name}: outputs exist, skipping")
                     continue
             ds.reset(scene, seq)
-            times, errs = run_scene(runner, iter(ds), args, args.outdir, name)
+            times, errs = process(iter(ds), args.outdir, name)
             all_times += times
             all_errs += errs
             print(f"{name}: {len(times)} frames")

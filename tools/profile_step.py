@@ -4,6 +4,13 @@
 Times each stage of the flagship pipeline in isolation (jitted, steady
 state) so optimization effort goes where the milliseconds are. Also the
 anchor for `jax.profiler` traces: pass --trace <dir> to dump one.
+
+Measurement hygiene (ARCHITECTURE.md): this environment's remote-execution
+relay elides repeated identical launches AND does not force execution under
+`block_until_ready` without a data fetch — so every timed iteration here
+feeds a DISTINCT input and fetches (part of) its result. Component times
+therefore include one device->host fetch RPC (~30 ms on this tunnel);
+relative comparisons remain meaningful.
 """
 
 from __future__ import annotations
@@ -22,16 +29,34 @@ from estdepth_tpu.utils.platform import apply_platform_env
 apply_platform_env()
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def _fetch(out):
     import jax
 
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+
+
+def timeit(fn, *args, n=10, warmup=2, vary=0):
+    """Time fn with a DISTINCT perturbed copy of args[vary] per call and a
+    result fetch per call (see module docstring)."""
+    import jax
+
+    base = np.asarray(args[vary], np.float32)
+    rng = np.random.default_rng(0)
+
+    def call(i):
+        noisy = jax.device_put(
+            (base + rng.normal(0, 1e-3, base.shape)).astype(base.dtype)
+        )
+        a = list(args)
+        a[vary] = noisy
+        return fn(*a)
+
+    for i in range(warmup):
+        _fetch(call(i))
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for i in range(n):
+        _fetch(call(warmup + i))
     return (time.perf_counter() - t0) / n
 
 
@@ -81,7 +106,7 @@ def main():
         out, st = model.apply(v, i, p, k, memory=m, use_est=True, train=False)
         return out["depth"]
 
-    t_full = timeit(full, variables, imgs, poses, intr, memory)
+    t_full = timeit(full, variables, imgs, poses, intr, memory, vary=1)
     print(f"full ESTM step:        {1e3*t_full:8.2f} ms  ({1/t_full:.1f} fps)")
 
     if args.trace:
@@ -94,7 +119,7 @@ def main():
     pv = {"params": variables["params"]["matching_feature"],
           "batch_stats": variables["batch_stats"]["matching_feature"]}
     x3 = jnp.asarray(rng.normal(size=(3, h, w, 3)).astype(np.float32)).astype(dtype)
-    t = timeit(jax.jit(psm.apply), pv, x3)
+    t = timeit(jax.jit(psm.apply), pv, x3, vary=1)
     print(f"PSM features (3 imgs): {1e3*t:8.2f} ms")
 
     # --- ResNet (1 target frame)
@@ -102,7 +127,7 @@ def main():
     rv = {"params": variables["params"]["semantic_feature"],
           "batch_stats": variables["batch_stats"]["semantic_feature"]}
     x1 = x3[:1]
-    t = timeit(jax.jit(lambda v, x: res.apply(v, x)[-1]), rv, x1)
+    t = timeit(jax.jit(lambda v, x: res.apply(v, x)[-1]), rv, x1, vary=1)
     print(f"ResNet-{args.resnet} (1 img):    {1e3*t:8.2f} ms")
 
     # --- plane-sweep warp (2 neighbors)
@@ -110,7 +135,7 @@ def main():
     proj = camera_projection(jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0),
                              jnp.tile(poses[0, :2], (1, 1, 1)))
     dv = jnp.tile(jnp.linspace(0.01, 10.0, nd)[None], (2, 1))
-    t = timeit(jax.jit(plane_sweep_warp), feat, proj, proj, dv)
+    t = timeit(jax.jit(plane_sweep_warp), feat, proj, proj, dv, vary=0)
     print(f"plane-sweep x2:        {1e3*t:8.2f} ms")
 
     # --- frustum warp (2 memory neighbors, keys+values fused = 32ch)
@@ -119,7 +144,7 @@ def main():
     k2 = jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0)
     t = timeit(
         jax.jit(lambda v, r, k, d: frustum_warp(v, r, k, d, 0.01, 10 / 63)),
-        vol, rel, k2, dv,
+        vol, rel, k2, dv, vary=0,
     )
     print(f"frustum warp x2:       {1e3*t:8.2f} ms")
 
@@ -129,7 +154,7 @@ def main():
     cv = jnp.asarray(rng.normal(size=(1, nd, hq, wq, 32)).astype(np.float32)).astype(dtype)
     conv3 = ConvBNRelu3D(32, dtype=dtype)
     c3v = conv3.init(jax.random.key(0), cv)
-    t = timeit(jax.jit(conv3.apply), c3v, cv)
+    t = timeit(jax.jit(conv3.apply), c3v, cv, vary=1)
     print(f"one conv3d 32ch:       {1e3*t:8.2f} ms  (decoder has ~7)")
 
     # --- training step (flagship config, single chip, V=5 window)
@@ -154,19 +179,24 @@ def main():
     sharded = shard_batch(batch, mesh)
     step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
 
-    def one_step(st):
-        st, scalars = step_fn(st, sharded, jnp.float32(10.0))
-        return st, scalars["loss"]
+    rng_b = np.random.default_rng(1)
 
-    # time without donation hazards: run sequentially
+    def one_step(st):
+        # DISTINCT batch per call + scalar fetch: anti-elision hygiene
+        b = dict(sharded)
+        b["imgs"] = jnp.asarray(
+            np.asarray(batch["imgs"])
+            + rng_b.normal(0, 1e-2, batch["imgs"].shape).astype(np.float32)
+        )
+        st, scalars = step_fn(st, b, jnp.float32(10.0))
+        return st, float(scalars["loss"])
+
     state, _ = one_step(state)  # compile
-    state, l = one_step(state)
-    jax.block_until_ready(l)
+    state, _ = one_step(state)
     t0 = time.perf_counter()
-    n_it = 10
+    n_it = 5
     for _ in range(n_it):
-        state, l = one_step(state)
-    jax.block_until_ready(l)
+        state, _ = one_step(state)
     t = (time.perf_counter() - t0) / n_it
     print(f"train step (V=5, B=1): {1e3*t:8.2f} ms  ({1/t:.1f} steps/s/chip)")
 
