@@ -214,6 +214,34 @@ def main():
         except Exception as e:
             extras["pallas_error"] = f"{type(e).__name__}: {e}"[:120]
 
+    # ---- serving variants -------------------------------------------------
+    try:
+        # latency: fetch only the refined (scale-0) map, bf16 — 8x less
+        # device->host transfer per frame than the default 4-scale fp32
+        srunner = ESTMRunner(
+            model, variables, h, w, lwindow=3, memory_size=2,
+            output_scales=(0,), output_dtype=jnp.bfloat16,
+        )
+        sfps = _time_streaming(
+            srunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
+        )
+        extras["serving_scale0_bf16_fps"] = round(sfps, 3)
+    except Exception as e:
+        extras["serving_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    try:
+        # throughput: 4 independent streams batched in one step
+        brunner = ESTMRunner(
+            model, variables, h, w, lwindow=3, memory_size=2, batch=4,
+            output_scales=(0,), output_dtype=jnp.bfloat16,
+        )
+        bfps = _time_streaming(
+            brunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
+        )
+        extras["batch4_total_fps"] = round(4 * bfps, 3)
+    except Exception as e:
+        extras["batch4_error"] = f"{type(e).__name__}: {e}"[:120]
+
     # ---- traceable baseline ----------------------------------------------
     mb_path = os.path.join(os.path.dirname(__file__) or ".",
                            "BASELINE_MEASURED.json")

@@ -43,6 +43,9 @@ class ESTMRunner:
         batch: int = 1,
         freeze_weights: bool = False,
         reference_pose_pairing: bool = False,
+        output_scales: tuple = (0, 1, 2, 3),
+        output_dtype=None,
+        return_probs: bool = False,
     ):
         """freeze_weights: close the (eval-constant) variables pytree over
         the jitted step instead of passing its leaves per call. Cuts
@@ -52,7 +55,14 @@ class ESTMRunner:
 
         reference_pose_pairing: reproduce the reference's stale memory-pose
         bookkeeping bit-for-bit (see ESTMemory.push) — used by the parity
-        harness; keep False for geometrically correct streaming."""
+        harness; keep False for geometrically correct streaming.
+
+        output_scales / output_dtype: serving knobs — return only the
+        needed depth scales (e.g. (0,) for the refined map) and optionally
+        downcast (e.g. bfloat16). The per-frame device->host fetch is a
+        material part of streaming latency (bench.py measures ~80 ms/frame
+        dispatch+fetch overhead); scale-0-only bf16 is 8x less transfer
+        than the default 4-scale fp32."""
         self.model = model
         self.variables = variables
         self.lwindow = lwindow
@@ -103,9 +113,21 @@ class ESTMRunner:
                 key, value, pose,
                 reference_pose_pairing=reference_pose_pairing,
             )
-            # center-frame depth at all 4 scales (eval_hybrid_seq.py:200-258
-            # saves ("depth",0,0) refined and ("depth",0,2) fused-head maps)
-            return outputs["depth"][:, 0], new_memory, all_feats[:, 1:]
+            # center-frame depth (eval_hybrid_seq.py:200-258 saves
+            # ("depth",0,0) refined and ("depth",0,2) fused-head maps);
+            # output_scales/output_dtype trim the per-frame fetch
+            depth = outputs["depth"][:, 0]
+            if tuple(output_scales) != (0, 1, 2, 3):
+                depth = depth[:, jnp.array(output_scales)]
+            if output_dtype is not None:
+                depth = depth.astype(output_dtype)
+            if return_probs:
+                probs = jnp.stack(
+                    [outputs["init_prob"][:, 0], outputs["fused_prob"][:, 0]],
+                    axis=1,
+                )  # [B, 2, H, W]
+                return (depth, probs), new_memory, all_feats[:, 1:]
+            return depth, new_memory, all_feats[:, 1:]
 
         if freeze_weights:
             self._step = jax.jit(

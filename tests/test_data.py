@@ -108,3 +108,22 @@ def test_synthetic_window_geometry_consistency():
     # depth is within the plausible plane distance range
     d = w["dmaps"][w["dmasks"]]
     assert 0.5 < d.min() and d.max() < 10.0
+
+
+def test_train_loader_propagates_worker_exceptions():
+    """A dataset error inside the producer thread must raise in the
+    consumer, not hang the epoch (data/pipeline.py produce())."""
+    import pytest
+
+    from estdepth_tpu.data.pipeline import TrainLoader
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise RuntimeError("corrupt shard")
+
+    loader = TrainLoader(Broken(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        next(iter(loader.epoch(0)))

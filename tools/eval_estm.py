@@ -56,6 +56,12 @@ def parse_args():
                         "streaming, amortized dispatch")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames per compiled chunk in --scan mode")
+    p.add_argument("--reference-layout", action="store_true",
+                   help="write outputs in the reference's directory layout "
+                        "(<outdir>/<scene>/{init_depth,init_prob,"
+                        "refined_depth,refined_prob}/<frame>.npy+.jpg, "
+                        "eval_hybrid_seq.py:144-258) — implies per-frame "
+                        "prob maps; streaming mode only")
     return p.parse_args()
 
 
@@ -150,6 +156,34 @@ def run_scene_scan(proc, frames, args, outdir=None, scene=""):
     return times, errs
 
 
+def _write_reference_layout(outdir, scene, idx, refined, init, probs,
+                            depth_max):
+    """Reference output tree: <outdir>/<scene>/{init_depth,init_prob,
+    refined_depth,refined_prob}/<frame>.npy + colorized .jpg
+    (eval_hybrid_seq.py:144-156,200-258). Note the reference's naming: its
+    'init_depth' is the fused scale-2 head, 'refined_depth' is scale-0."""
+    from estdepth_tpu.utils.viz import (
+        colorize_depth, colorize_probmap, save_image,
+    )
+
+    base = os.path.join(outdir, scene)
+    maps = {
+        "init_depth": (init, "depth"),
+        "refined_depth": (refined, "depth"),
+        "init_prob": (np.asarray(probs[0, 0]), "prob"),
+        "refined_prob": (np.asarray(probs[0, 1]), "prob"),
+    }
+    for kind, (arr, flavor) in maps.items():
+        d = os.path.join(base, kind)
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, f"{idx:06d}.npy"), arr.astype(np.float16))
+        img = (
+            colorize_depth(arr, 0.0, min(depth_max, 5.0))
+            if flavor == "depth" else colorize_probmap(arr)
+        )
+        save_image(os.path.join(d, f"{idx:06d}.jpg"), img)
+
+
 def run_scene(runner, frames, args, outdir=None, scene=""):
     from estdepth_tpu.utils.viz import colorize_depth, save_image
 
@@ -162,9 +196,10 @@ def run_scene(runner, frames, args, outdir=None, scene=""):
         if len(window) > args.lwindow:
             window.pop(0)
         t0 = time.perf_counter()
-        depth = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
-        if depth is not None:
-            depth.block_until_ready()
+        out = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        if out is not None:
+            depth, probs = out if isinstance(out, tuple) else (out, None)
+            np.asarray(depth)  # force completion (relay: fetch, not block)
             times.append(time.perf_counter() - t0)
             refined = np.asarray(depth[0, 0])  # scale-0 (refined) map
             init = np.asarray(depth[0, 2])     # scale-2 (fused head) map
@@ -173,7 +208,12 @@ def run_scene(runner, frames, args, outdir=None, scene=""):
             cidx, cf = window[args.lwindow // 2]
             if cf.get("dmap") is not None:
                 errs.append(score(refined, cf["dmap"], cf["dmask"]))
-            if outdir and args.save_maps:
+            if outdir and args.reference_layout and probs is not None:
+                _write_reference_layout(
+                    outdir, scene, cidx, refined, init, np.asarray(probs),
+                    args.depth_max,
+                )
+            elif outdir and args.save_maps:
                 base = os.path.join(outdir, f"{scene}_{cidx:06d}")
                 np.save(base + "_depth.npy", refined.astype(np.float16))
                 np.save(base + "_init.npy", init.astype(np.float16))
@@ -203,7 +243,7 @@ def main():
     else:
         runner = ESTMRunner(
             model, variables, args.height, args.width, args.lwindow,
-            args.memory_size,
+            args.memory_size, return_probs=args.reference_layout,
         )
 
     def process(frames, outdir, scene):
