@@ -383,3 +383,88 @@ def test_estm_chain_matches_reference(ctx):
         np.testing.assert_allclose(
             got, want, atol=8e-3, rtol=1e-3, err_msg=f"window {wi}",
         )
+
+
+def test_gradients_match_reference(ctx):
+    """d(loss)/d(params) of the full EST training path vs the actual
+    reference backward (model_hybrid.py:186-222 loss through
+    hybrid_depth_decoder.py:138-292), eval-mode BN both sides so the
+    comparison is deterministic. Validates warps, attention, GRU, decoder,
+    and the sequential in-place fusion (values of targets j < i feed
+    target i, so cross-target gradient flow must match too)."""
+    import jax.numpy as jnp
+
+    from estdepth_tpu.utils.convert import export_state_dict
+
+    gt = np.stack([f["dmap"] for f in ctx.frames[1 : V - 1]])[None]
+    mask = np.stack([f["dmask"] for f in ctx.frames[1 : V - 1]])[None]
+
+    def loss_fn(params):
+        outputs, _ = ctx.model.apply(
+            {"params": params, "batch_stats": ctx.variables["batch_stats"]},
+            jnp.asarray(ctx.imgs), jnp.asarray(ctx.poses),
+            jnp.asarray(ctx.intr), use_est=True, train=False,
+        )
+        total, _ = multi_scale_loss(
+            outputs["depth"], jnp.asarray(gt.astype(np.float32)),
+            jnp.asarray(mask), DEPTH_MIN, DEPTH_MAX,
+        )
+        return total
+
+    grads = jax.device_get(jax.grad(loss_fn)(ctx.variables["params"]))
+    # reuse the name/layout mapping to get torch-style grad names; the BN
+    # running_mean/var entries it emits are just placeholders to skip
+    grad_sd = export_state_dict(
+        {"params": grads, "batch_stats": ctx.variables["batch_stats"]}
+    )
+
+    with torch.enable_grad():
+        ref_model = ctx.ref_model
+        for p in ref_model.parameters():
+            p.requires_grad_(True)
+            p.grad = None
+        _, ref_losses = ref_model(
+            _to_torch_imgs(ctx.imgs), torch.from_numpy(ctx.poses),
+            torch.from_numpy(ctx.intr), _ref_sample(ctx.frames, 0, V),
+            None, None, mode="train",
+        )
+        ref_losses["loss"].backward()
+
+    named = dict(ref_model.named_parameters())
+    pairs = []
+    for name, g in grad_sd.items():
+        if name.endswith(("running_mean", "running_var")):
+            continue
+        p = named.get(name)
+        if p is None or p.grad is None:
+            continue
+        pairs.append((name, np.asarray(g, np.float32), p.grad.numpy()))
+    for p in ref_model.parameters():
+        p.requires_grad_(False)
+        p.grad = None
+    assert len(pairs) > 400, len(pairs)  # every conv/bn/head participates
+
+    # Tolerance must be scale-aware ACROSS tensors: some true gradients are
+    # exactly zero by symmetry (e.g. the stereo-head output bias adds a
+    # uniform shift to every depth-plane logit, to which the softargmin is
+    # invariant), leaving only fp noise on both sides — a per-tensor
+    # relative metric explodes there. Compare against the tensor's own
+    # magnitude with an absolute floor from the global gradient scale.
+    global_scale = max(float(np.abs(w).max()) for _, _, w in pairs)
+    report = []
+    for name, got, want in pairs:
+        wmax = float(np.abs(want).max())
+        diff = float(np.abs(got - want).max())
+        # absolute sanity vs the global gradient scale
+        assert diff < 2e-3 * global_scale, (
+            f"{name}: |Δ|={diff:.3e} vs global={global_scale:.3e} "
+            f"(|want|max={wmax:.3e}, |got|max={float(np.abs(got).max()):.3e})"
+        )
+        # tight relative check on well-conditioned gradients
+        if wmax >= 1e-2 * global_scale:
+            report.append((diff / wmax, name, wmax, diff))
+    report.sort(reverse=True)
+    assert report and report[0][0] < 2e-3, (
+        f"worst well-conditioned grad: {report[0][1]} rel={report[0][0]:.2e} "
+        f"(|want|max={report[0][2]:.3e}, |Δ|={report[0][3]:.3e})"
+    )
