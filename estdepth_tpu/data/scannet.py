@@ -64,6 +64,19 @@ def _load_scan(
     return info
 
 
+def photometric_augment(
+    images: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Gamma / brightness / per-channel color jitter on a [V, H, W, 3]
+    window in 0..255 (reference augument(), scannet.py:40-58)."""
+    images = np.asarray(images, np.float64)
+    gamma = rng.uniform(0.9, 1.1)
+    images = 255.0 * (images / 255.0) ** gamma
+    images *= rng.uniform(0.8, 1.2)
+    images *= rng.uniform(0.8, 1.2, size=3).reshape(1, 1, 1, 3)
+    return np.clip(images, 0.0, 255.0).astype(np.float32)
+
+
 class ScanNetTrainDataset:
     def __init__(
         self,
@@ -79,9 +92,16 @@ class ScanNetTrainDataset:
         reload_scan: bool = False,
         seed: int = 0,
         backend: str = "auto",
+        augment_prob: float = 0.0,
     ):
         """backend: "native" (threaded C++ decode, data/native/), "cv2",
-        or "auto" (native when it builds, else cv2)."""
+        or "auto" (native when it builds, else cv2).
+
+        augment_prob: probability of applying the reference's photometric
+        augmentation (gamma/brightness/color jitter, scannet.py:40-58) per
+        window. The reference ships it DISABLED ("it seems that augment
+        will influence accuracy", scannet.py:180-183) — default 0.0 keeps
+        that behavior; pass 0.5 for the reference's commented-out recipe."""
         self.dataset_path = dataset_path
         self.height = height
         self.width = width
@@ -89,6 +109,7 @@ class ScanNetTrainDataset:
         self.depth_min = depth_min
         self.depth_max = depth_max
         self.min_valid_ratio = min_valid_ratio
+        self.augment_prob = augment_prob
         self._rng = np.random.default_rng(seed)
 
         if backend == "auto":
@@ -159,6 +180,8 @@ class ScanNetTrainDataset:
         assert ratios.min() > self.min_valid_ratio, (
             f"only {ratios.min():.0%} valid depth"
         )
+        if self.augment_prob > 0 and self._rng.uniform() < self.augment_prob:
+            imgs = photometric_augment(imgs, self._rng)
         return {
             "imgs": imgs.astype(np.float32),        # [V,H,W,3]
             "cam_poses": poses.astype(np.float32),  # [V,4,4]

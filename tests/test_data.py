@@ -127,3 +127,16 @@ def test_train_loader_propagates_worker_exceptions():
     loader = TrainLoader(Broken(), batch_size=2, num_workers=1)
     with pytest.raises(RuntimeError, match="corrupt shard"):
         next(iter(loader.epoch(0)))
+
+
+def test_photometric_augment_bounds(rng):
+    """Reference augument() port (scannet.py:40-58): range-preserving,
+    shape-preserving, per-channel jitter actually varies channels."""
+    from estdepth_tpu.data.scannet import photometric_augment
+
+    imgs = rng.uniform(0, 255, size=(3, 16, 20, 3)).astype(np.float32)
+    out = photometric_augment(imgs, np.random.default_rng(0))
+    assert out.shape == imgs.shape and out.dtype == np.float32
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    ratio = (out + 1) / (imgs + 1)
+    assert not np.allclose(ratio[..., 0], ratio[..., 1])

@@ -30,26 +30,40 @@ apply_platform_env()
 
 
 def _fetch(out):
+    """Fetch a bounded slice of the first output leaf — enough to force the
+    producing program to execute (the slice reads its buffer) without
+    dragging hundreds of MB through the ~30ms-RPC tunnel per iteration."""
     import jax
 
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
+    np.asarray(leaf.reshape(-1)[:4096])
 
 
 def timeit(fn, *args, n=10, warmup=2, vary=0):
     """Time fn with a DISTINCT perturbed copy of args[vary] per call and a
-    result fetch per call (see module docstring)."""
-    import jax
+    result fetch per call (see module docstring).
 
-    base = np.asarray(args[vary], np.float32)
-    rng = np.random.default_rng(0)
+    Variants are generated ON DEVICE before timing — per-iteration
+    device_put of a large input would measure the host->device upload
+    (e.g. a 167 MB cost volume takes ~2.8 s through this tunnel), not the
+    op."""
+    import jax
+    import jax.numpy as jnp
+
+    base = args[vary]
+
+    @jax.jit
+    def perturb(x, key):
+        return x + (1e-3 * jax.random.normal(key, x.shape)).astype(x.dtype)
+
+    variants = [
+        perturb(base, jax.random.key(i)) for i in range(warmup + n)
+    ]
+    jax.block_until_ready(variants)
 
     def call(i):
-        noisy = jax.device_put(
-            (base + rng.normal(0, 1e-3, base.shape)).astype(base.dtype)
-        )
         a = list(args)
-        a[vary] = noisy
+        a[vary] = variants[i]
         return fn(*a)
 
     for i in range(warmup):
