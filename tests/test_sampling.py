@@ -83,3 +83,45 @@ def test_bilinear_identity_grid(rng):
     y = yy.reshape(1, -1).astype(np.float32)
     got = np.asarray(bilinear_sample(jnp.array(src), jnp.array(x), jnp.array(y)))
     np.testing.assert_allclose(got.reshape(b, h, w, c), src, atol=1e-6)
+
+
+def test_patch_gather_samplers_match_reference_impls(rng):
+    """bilinear/trilinear_sample_patch (single patch gather, the warp hot
+    path) == the pointwise-gather reference implementations, including
+    boundary and out-of-range coordinates."""
+    from estdepth_tpu.ops.sampling import (
+        bilinear_sample,
+        bilinear_sample_patch,
+        trilinear_sample,
+        trilinear_sample_patch,
+    )
+
+    b, d, h, w, c = 2, 5, 9, 11, 4
+    src3 = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
+    src2 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    n = 1500
+    x = jnp.asarray(rng.uniform(-2, w + 1, (b, n)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-2, h + 1, (b, n)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(-2, d + 1, (b, n)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(bilinear_sample_patch(src2, x, y)),
+        np.asarray(bilinear_sample(src2, x, y)), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trilinear_sample_patch(src3, x, y, z)),
+        np.asarray(trilinear_sample(src3, x, y, z)), rtol=1e-5, atol=1e-6,
+    )
+    # exact-corner coordinates (the size-2 start clamp must stay exact)
+    xc = jnp.asarray(np.array([[0.0, w - 1.0, w - 2.0, 1.0]], np.float32))
+    yc = jnp.asarray(np.array([[0.0, h - 1.0, h - 2.0, h - 1.0]], np.float32))
+    zc = jnp.asarray(np.array([[0.0, d - 1.0, d - 2.0, d - 1.0]], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(bilinear_sample_patch(src2[:1], xc, yc)),
+        np.asarray(bilinear_sample(src2[:1], xc, yc)), rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trilinear_sample_patch(src3[:1], xc, yc, zc)),
+        np.asarray(trilinear_sample(src3[:1], xc, yc, zc)),
+        rtol=1e-6, atol=1e-7,
+    )
