@@ -124,8 +124,19 @@ def main():
     )(jax.random.key(0), imgs0, poses0, intr0)
 
     # ---- streaming (deployment path: fetch every frame's depth) ---------
-    runner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
-    streaming_fps = _time_streaming(runner, frames, N_TIMED)
+    # one retry: the remote compile service occasionally 500s transiently,
+    # and the driver needs the primary metric even then
+    for attempt in range(2):
+        try:
+            runner = ESTMRunner(
+                model, variables, h, w, lwindow=3, memory_size=2
+            )
+            streaming_fps = _time_streaming(runner, frames, N_TIMED)
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+            time.sleep(20.0)
     extras["streaming_fps"] = round(streaming_fps, 3)
     extras["streaming_ms_per_frame"] = round(1e3 / streaming_fps, 2)
 
