@@ -121,7 +121,12 @@ class SequenceProcessor:
         memory_size: int = 2,
         chunk: int = 16,
         reference_pose_pairing: bool = False,
+        output_scales: tuple = (0, 1, 2, 3),
+        output_dtype=None,
     ):
+        """output_scales / output_dtype: trim the per-chunk device->host
+        transfer to the depth scales (and precision) the consumer actually
+        reads — the fetch is a material cost through slow links."""
         assert chunk >= lwindow
         self.model = model
         self.variables = variables
@@ -138,7 +143,12 @@ class SequenceProcessor:
                 memory=memory if use_est else None,
                 use_est=use_est, train=False, matching_feats=feats,
             )
-            return outputs["depth"][:, 0], memory.push(
+            depth = outputs["depth"][:, 0]
+            if tuple(output_scales) != (0, 1, 2, 3):
+                depth = depth[:, jnp.array(output_scales)]
+            if output_dtype is not None:
+                depth = depth.astype(output_dtype)
+            return depth, memory.push(
                 key, value, pose,
                 reference_pose_pairing=reference_pose_pairing,
             )

@@ -144,7 +144,7 @@ def run_scene_scan(proc, frames, args, outdir=None, scene=""):
         # the emitted depth belongs to the window's CENTER frame
         # (eval_hybrid_seq.py:202 saves under img_paths[lwindow // 2])
         f = frames[wi + args.lwindow // 2]
-        refined, init = d[0], d[2]
+        refined, init = d[0], d[1]  # output_scales=(0, 2)
         if f.get("dmap") is not None:
             errs.append(score(refined, f["dmap"], f["dmask"]))
         if outdir and args.save_maps:
@@ -235,9 +235,11 @@ def main():
 
     model, variables = build_model_and_params(args)
     if args.scan:
+        # fetch only the two scored maps (refined scale-0, fused scale-2):
+        # half the device->host transfer per chunk
         proc = SequenceProcessor(
             model, variables, args.lwindow, args.memory_size,
-            chunk=args.chunk,
+            chunk=args.chunk, output_scales=(0, 2),
         )
         runner = None
     else:
