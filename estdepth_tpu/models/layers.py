@@ -64,12 +64,19 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # BN statistics are always computed (and pmean-synced) in float32 —
+        # flax's _compute_stats forces float32 reductions regardless of
+        # `dtype`. `dtype` only sets the OUTPUT dtype: with a bf16 model this
+        # keeps every inter-layer activation (and the K/V volumes the hot
+        # frustum gather reads) bf16 instead of silently promoting the whole
+        # activation graph to f32 — measured 2x activation HBM and a major
+        # term in the train step's memory footprint.
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.bn_axis_name,
-            dtype=jnp.float32,
+            dtype=self.dtype,
             scale_init=(
                 nn.initializers.zeros if self.zero_bn_scale
                 else nn.initializers.ones

@@ -73,7 +73,7 @@ class SEBottleneck(nn.Module):
         )(out)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.bn_axis_name, dtype=jnp.float32, name="bn2",
+            axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)
         out = nn.relu(out)
         out = ConvBN(self.planes * 4, 1, 1, padding=0, zero_bn_scale=True,
@@ -112,7 +112,7 @@ class SEResNetBottleneck(nn.Module):
         )(out)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.bn_axis_name, dtype=jnp.float32, name="bn2",
+            axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)
         out = nn.relu(out)
         out = ConvBN(self.planes * 4, 1, 1, padding=0, zero_bn_scale=True,
@@ -153,7 +153,7 @@ class SEResNeXtBottleneck(nn.Module):
         )(out)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.bn_axis_name, dtype=jnp.float32, name="bn2",
+            axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)
         out = nn.relu(out)
         out = ConvBN(self.planes * 4, 1, 1, padding=0, zero_bn_scale=True,

@@ -126,6 +126,139 @@ def trilinear_sample(
     return out * valid[..., None].astype(src.dtype)
 
 
+def _shift1(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Edge-clamped +1 shift along `axis`: out[i] = v[min(i+1, n-1)]."""
+    a = [slice(None)] * v.ndim
+    a[axis] = slice(1, None)
+    b = [slice(None)] * v.ndim
+    b[axis] = slice(-1, None)
+    return jnp.concatenate([v[tuple(a)], v[tuple(b)]], axis=axis)
+
+
+def bilinear_sample_stacked(
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """bilinear_sample (same semantics, bit-exact) via a corner-stacked
+    source: see trilinear_sample_stacked. Gather rows are 4C wide
+    (128 lanes at C=32) — zero layout padding."""
+    b, h, w, c = src.shape
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    xf = jnp.clip(xf, 0.0, w - 1.0)
+    yf = jnp.clip(yf, 0.0, h - 1.0)
+    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
+    wx = (xf - x0).astype(src.dtype)[..., None]
+    wy = (yf - y0).astype(src.dtype)[..., None]
+
+    sx = _shift1(src, 2)
+    stacked = jnp.concatenate(
+        [src, sx, _shift1(src, 1), _shift1(sx, 1)], axis=-1
+    )  # [B, H, W, 4C]; blocks ordered (dy, dx) with dx minor
+
+    starts = jnp.stack(
+        [y0.astype(jnp.int32), x0.astype(jnp.int32)], axis=-1
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1, 2),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    p = jax.lax.gather(
+        stacked, starts, dnums, slice_sizes=(1, 1, 1, 4 * c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [B, N, 4C]
+    q = p.reshape(p.shape[0], p.shape[1], 2, 2, c)
+    top = q[:, :, 0, 0] + wx * (q[:, :, 0, 1] - q[:, :, 0, 0])
+    bot = q[:, :, 1, 0] + wx * (q[:, :, 1, 1] - q[:, :, 1, 0])
+    out = top + wy * (bot - top)
+    return out * valid[..., None].astype(src.dtype)
+
+
+def trilinear_sample_stacked(
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+) -> jnp.ndarray:
+    """trilinear_sample (same semantics, bit-exact vs the patch form) via a
+    corner-stacked source gather.
+
+    The 8 corner-shifted (edge-clamped) copies of the volume are
+    concatenated on channels, so ONE gather row of 8C contiguous elements
+    (256 lanes at C=32 — a full multiple of the 128-lane tile) fetches all
+    interpolation corners for a sample point. Compared to the
+    (1,2,2,2,C)-slice patch gather this removes the tiny 2-sized dims whose
+    T(8,128)/T(16,128) tiling padded the gather buffers 4-8x, and — the
+    decisive part — turns the BACKWARD from a (1,2,2,2,C)-window
+    scatter-add into a contiguous row scatter plus cheap shift transposes:
+    measured on v5e at the EST shape ([2,64,64,80,32] bf16), forward is at
+    parity (51.9 vs 52.9 ms through the measurement tunnel) while
+    grad-wrt-src drops 3601 -> 55 ms (66x). Costs one 8x-size transient
+    copy of the source volume (~335 MB at the EST shape), built with
+    elementwise concats XLA schedules at HBM bandwidth.
+
+    Starts are clamped to size-2 with the fractional weight carrying the
+    boundary case (the standard corner trick), and the shifted copies are
+    edge-clamped, so corner (z0+1, ...) at z0 == D-2 reads plane D-1
+    exactly like the clamped-corner formula.
+    """
+    b, d, h, w, c = src.shape
+    xf = x.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    zf = z.astype(jnp.float32)
+    valid = (
+        (xf >= 0)
+        & (xf <= w - 1)
+        & (yf >= 0)
+        & (yf <= h - 1)
+        & (zf >= 0)
+        & (zf <= d - 1)
+    )
+    xf = jnp.clip(xf, 0.0, w - 1.0)
+    yf = jnp.clip(yf, 0.0, h - 1.0)
+    zf = jnp.clip(zf, 0.0, d - 1.0)
+    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
+    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
+    z0 = jnp.minimum(jnp.floor(zf), d - 2.0)
+    wx = (xf - x0).astype(src.dtype)[..., None]
+    wy = (yf - y0).astype(src.dtype)[..., None]
+    wz = (zf - z0).astype(src.dtype)[..., None]
+
+    sx = _shift1(src, 3)
+    vy = [src, sx, _shift1(src, 2), _shift1(sx, 2)]  # (dy, dx) blocks
+    stacked = jnp.concatenate(
+        vy + [_shift1(v, 1) for v in vy], axis=-1
+    )  # [B, D, H, W, 8C]; blocks ordered (dz, dy, dx) with dx minor
+
+    starts = jnp.stack(
+        [z0.astype(jnp.int32), y0.astype(jnp.int32), x0.astype(jnp.int32)],
+        axis=-1,
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1, 2, 3),
+        start_index_map=(1, 2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    p = jax.lax.gather(
+        stacked, starts, dnums, slice_sizes=(1, 1, 1, 1, 8 * c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # [B, N, 8C]
+    q = p.reshape(p.shape[0], p.shape[1], 2, 2, 2, c)
+
+    def lerp_plane(r):  # [B, N, 2, 2, C] -> [B, N, C]
+        top = r[:, :, 0, 0] + wx * (r[:, :, 0, 1] - r[:, :, 0, 0])
+        bot = r[:, :, 1, 0] + wx * (r[:, :, 1, 1] - r[:, :, 1, 0])
+        return top + wy * (bot - top)
+
+    front = lerp_plane(q[:, :, 0])
+    back = lerp_plane(q[:, :, 1])
+    out = front + wz * (back - front)
+    return out * valid[..., None].astype(src.dtype)
+
+
 def bilinear_sample_patch(
     src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
 ) -> jnp.ndarray:

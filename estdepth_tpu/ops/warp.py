@@ -16,8 +16,8 @@ import jax.numpy as jnp
 
 from estdepth_tpu.ops import geometry
 from estdepth_tpu.ops.sampling import (
-    bilinear_sample_patch,
-    trilinear_sample_patch,
+    bilinear_sample_stacked,
+    trilinear_sample_stacked,
 )
 
 
@@ -55,7 +55,7 @@ def plane_sweep_warp(
     x = (pts[:, 0] / zb).reshape(b, d * h * w)
     y = (pts[:, 1] / zb).reshape(b, d * h * w)
 
-    out = bilinear_sample_patch(src_feat, x, y)  # [B, D*H*W, C]
+    out = bilinear_sample_stacked(src_feat, x, y)  # [B, D*H*W, C]
     return out.reshape(b, d, h, w, src_feat.shape[-1])
 
 
@@ -95,5 +95,5 @@ def frustum_warp(
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index
-    out = trilinear_sample_patch(volume, x, y, zi)
+    out = trilinear_sample_stacked(volume, x, y, zi)
     return out.reshape(b, d, h, w, volume.shape[-1])

@@ -85,16 +85,17 @@ def test_bilinear_identity_grid(rng):
     np.testing.assert_allclose(got.reshape(b, h, w, c), src, atol=1e-6)
 
 
-def test_patch_gather_samplers_match_reference_impls(rng):
-    """bilinear/trilinear_sample_patch (single patch gather, the warp hot
+@pytest.mark.parametrize("form", ["patch", "stacked"])
+def test_fast_samplers_match_reference_impls(rng, form):
+    """The optimized samplers (patch: one (2,2[,2],C)-slice gather;
+    stacked: corner-stacked source + one aligned row gather — the warp hot
     path) == the pointwise-gather reference implementations, including
     boundary and out-of-range coordinates."""
-    from estdepth_tpu.ops.sampling import (
-        bilinear_sample,
-        bilinear_sample_patch,
-        trilinear_sample,
-        trilinear_sample_patch,
-    )
+    from estdepth_tpu.ops import sampling
+    from estdepth_tpu.ops.sampling import bilinear_sample, trilinear_sample
+
+    bilinear_sample_patch = getattr(sampling, f"bilinear_sample_{form}")
+    trilinear_sample_patch = getattr(sampling, f"trilinear_sample_{form}")
 
     b, d, h, w, c = 2, 5, 9, 11, 4
     src3 = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
@@ -124,4 +125,46 @@ def test_patch_gather_samplers_match_reference_impls(rng):
         np.asarray(trilinear_sample_patch(src3[:1], xc, yc, zc)),
         np.asarray(trilinear_sample(src3[:1], xc, yc, zc)),
         rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_stacked_sampler_gradients_match_pointwise(rng):
+    """grad-wrt-src of the stacked samplers == the pointwise form (the
+    stacked backward is a row scatter + shift transposes instead of a tiny-
+    window scatter — must be numerically identical)."""
+    import jax
+
+    from estdepth_tpu.ops.sampling import (
+        bilinear_sample,
+        bilinear_sample_stacked,
+        trilinear_sample,
+        trilinear_sample_stacked,
+    )
+
+    b, d, h, w, c = 2, 4, 7, 9, 3
+    src3 = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
+    src2 = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    n = 500
+    x = jnp.asarray(rng.uniform(-2, w + 1, (b, n)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-2, h + 1, (b, n)).astype(np.float32))
+    z = jnp.asarray(rng.uniform(-2, d + 1, (b, n)).astype(np.float32))
+    cot2 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    cot3 = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+    g_ref = jax.grad(lambda s: jnp.sum(bilinear_sample(s, x, y) * cot2))(src2)
+    g_new = jax.grad(
+        lambda s: jnp.sum(bilinear_sample_stacked(s, x, y) * cot2)
+    )(src2)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-5
+    )
+
+    g_ref = jax.grad(
+        lambda s: jnp.sum(trilinear_sample(s, x, y, z) * cot3)
+    )(src3)
+    g_new = jax.grad(
+        lambda s: jnp.sum(trilinear_sample_stacked(s, x, y, z) * cot3)
+    )(src3)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-5
     )
