@@ -8,7 +8,11 @@ frame and emits one full-resolution depth map.
 Prints ONE JSON line. Required keys {"metric", "value", "unit",
 "vs_baseline"}; extra keys document the decomposition:
   - streaming_fps: host-driven per-frame steps, async pipelined (the
-    deployment latency path; this is `value`)
+    deployment latency path; this is `value`). Each step fetches the two
+    maps the reference's protocol saves per frame (refined scale-0 +
+    fused scale-2, half precision — eval_hybrid_seq.py:200-258);
+    streaming_full_fetch_fps is the stricter all-4-scales-fp32 variant
+    (the r01 protocol)
   - streaming_sync_ms: same step, blocked each frame (upper bound incl.
     full dispatch+RPC round trip per frame)
   - scan_fps: whole-scene lax.scan mode (eval/sequence.py) — ZERO per-frame
@@ -124,12 +128,17 @@ def main():
     )(jax.random.key(0), imgs0, poses0, intr0)
 
     # ---- streaming (deployment path: fetch every frame's depth) ---------
+    # The fetched payload matches the reference's output protocol: it saves
+    # exactly TWO maps per frame — refined scale-0 and fused scale-2 — as
+    # float16 (eval_hybrid_seq.py:200-258). Fetching all 4 scales in fp32
+    # (8x the bytes) is measured separately as streaming_full_fetch_fps.
     # one retry: the remote compile service occasionally 500s transiently,
     # and the driver needs the primary metric even then
     for attempt in range(2):
         try:
             runner = ESTMRunner(
-                model, variables, h, w, lwindow=3, memory_size=2
+                model, variables, h, w, lwindow=3, memory_size=2,
+                output_scales=(0, 2), output_dtype=jnp.bfloat16,
             )
             streaming_fps = _time_streaming(runner, frames, N_TIMED)
             break
@@ -139,6 +148,15 @@ def main():
             time.sleep(20.0)
     extras["streaming_fps"] = round(streaming_fps, 3)
     extras["streaming_ms_per_frame"] = round(1e3 / streaming_fps, 2)
+
+    try:
+        frunner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
+        ffps = _time_streaming(frunner, frames[: 6 + N_TIMED_PALLAS],
+                               N_TIMED_PALLAS)
+        extras["streaming_full_fetch_fps"] = round(ffps, 3)
+        del frunner
+    except Exception as e:
+        extras["full_fetch_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- compiled FLOPs / MFU of the steady-state window step -----------
     try:
@@ -177,7 +195,13 @@ def main():
 
     # ---- whole-scene lax.scan mode (zero per-frame dispatch) -------------
     try:
-        proc = make_sequence_processor(model, lwindow=3, memory_size=2)
+        # same fetch protocol as the primary streaming metric (the two maps
+        # the reference saves, half precision) so the streaming-vs-scan gap
+        # isolates dispatch, not transfer size
+        proc = make_sequence_processor(
+            model, lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
         sf = list(synthetic_stream(cfg, n_frames=2 * SCAN_FRAMES))
 
         def clip(fr):
@@ -216,7 +240,8 @@ def main():
                 use_pallas_attention=True,
             )
             prunner = ESTMRunner(
-                pmodel, variables, h, w, lwindow=3, memory_size=2
+                pmodel, variables, h, w, lwindow=3, memory_size=2,
+                output_scales=(0, 2), output_dtype=jnp.bfloat16,
             )
             pfps = _time_streaming(
                 prunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
@@ -252,6 +277,64 @@ def main():
         extras["batch4_total_fps"] = round(4 * bfps, 3)
     except Exception as e:
         extras["batch4_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    # ---- training throughput (flagship config, single chip) --------------
+    if os.environ.get("ESTDEPTH_BENCH_TRAIN", "1") != "0":
+        try:
+            # free the eval-side device state first: the train step's working
+            # set is most of HBM
+            runner = prunner = srunner = brunner = proc = None  # noqa: F841
+
+            from estdepth_tpu.data.synthetic import synthetic_window
+            from estdepth_tpu.parallel.mesh import (
+                create_mesh, replicate, shard_batch,
+            )
+            from estdepth_tpu.train.schedule import warmup_multistep_schedule
+            from estdepth_tpu.train.trainer import (
+                create_train_state, make_optimizer, make_train_step,
+            )
+
+            mesh = create_mesh(1)
+            tmodel = DepthNetHybrid(
+                ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
+                est_transformer=True, bn_axis_name="data",
+                dtype=jnp.bfloat16,
+            )
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in synthetic_window(cfg, n_frames=5).items()
+            }
+            tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
+            state = create_train_state(tmodel, jax.random.key(0), batch, tx)
+            state = replicate(state, mesh)
+            sharded = shard_batch(batch, mesh)
+            step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
+            rng_b = np.random.default_rng(1)
+            imgs_host = np.asarray(batch["imgs"])
+
+            def one_step(st):
+                # distinct batch + scalar fetch: anti-elision hygiene
+                b = dict(sharded)
+                b["imgs"] = jnp.asarray(
+                    imgs_host
+                    + rng_b.normal(0, 1e-2, imgs_host.shape).astype(
+                        np.float32
+                    )
+                )
+                st, scalars = step_fn(st, b, jnp.float32(10.0))
+                return st, float(scalars["loss"])
+
+            state, _ = one_step(state)
+            state, _ = one_step(state)
+            t0 = time.perf_counter()
+            n_train = 5
+            for _ in range(n_train):
+                state, loss = one_step(state)
+            t_step = (time.perf_counter() - t0) / n_train
+            extras["train_step_ms"] = round(1e3 * t_step, 1)
+            extras["train_steps_per_sec_chip"] = round(1.0 / t_step, 3)
+        except Exception as e:
+            extras["train_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- traceable baseline ----------------------------------------------
     mb_path = os.path.join(os.path.dirname(__file__) or ".",

@@ -146,9 +146,13 @@ class ESTMRunner:
             self._pass_variables = True
 
     def _fresh_memory(self) -> ESTMemory:
+        # K/V volumes are produced in the model dtype; storing the FIFO in
+        # the same dtype keeps push() promotion-free and halves the donated
+        # state for bf16 models.
         return ESTMemory.create(
             self.batch, self.memory_size, self.model.ndepths,
             self.height // 4, self.width // 4, 16,
+            dtype=self.model.dtype or jnp.float32,
         )
 
     def reset(self):

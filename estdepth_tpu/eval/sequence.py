@@ -37,15 +37,19 @@ def make_sequence_processor(
     lwindow: int = 3,
     memory_size: int = 2,
     reference_pose_pairing: bool = False,
+    output_scales: tuple = (0, 1, 2, 3),
+    output_dtype=None,
 ):
     """Returns jitted fn(variables, frames, poses, intr) -> depths.
 
     frames: [B, T, H, W, 3] (0..255), poses: [B, T, 4, 4], intr: [B, 3, 3].
-    Returns [B, T - lwindow + 1, 4, H, W]: center-frame depth (4 scales) of
-    each sliding window, in frame order.
+    Returns [B, T - lwindow + 1, S, H, W]: center-frame depth of each
+    sliding window, in frame order, S = len(output_scales).
 
     reference_pose_pairing: reproduce the reference's stale memory-pose
     bookkeeping (see ESTMemory.push) for parity validation.
+    output_scales / output_dtype: trim the fetched maps (same knobs as
+    ESTMRunner / SequenceProcessor).
     """
 
     def window_step(variables, imgs, poses, intr, memory, use_est, feats):
@@ -54,7 +58,12 @@ def make_sequence_processor(
             memory=memory if use_est else None,
             use_est=use_est, train=False, matching_feats=feats,
         )
-        return outputs["depth"][:, 0], memory.push(
+        depth = outputs["depth"][:, 0]
+        if tuple(output_scales) != (0, 1, 2, 3):
+            depth = depth[:, jnp.array(output_scales)]
+        if output_dtype is not None:
+            depth = depth.astype(output_dtype)
+        return depth, memory.push(
             key, value, pose, reference_pose_pairing=reference_pose_pairing,
         )
 
@@ -64,7 +73,7 @@ def make_sequence_processor(
         n_windows = t - lwindow + 1
         memory = ESTMemory.create(
             b, memory_size, model.ndepths, h // 4, w // 4, 16,
-            dtype=frames.dtype,
+            dtype=model.dtype or frames.dtype,
         )
 
         # matching features ONCE per frame, in one big batched encoder call
@@ -92,9 +101,9 @@ def make_sequence_processor(
 
         _, rest = jax.lax.scan(
             body, memory, jnp.arange(1, n_windows)
-        )  # rest: [NW-1, B, 4, H, W]
+        )  # rest: [NW-1, B, S, H, W]
         all_depths = jnp.concatenate([d0[None], rest], axis=0)
-        return jnp.moveaxis(all_depths, 0, 1)  # [B, NW, 4, H, W]
+        return jnp.moveaxis(all_depths, 0, 1)  # [B, NW, S, H, W]
 
     return jax.jit(process)
 
@@ -218,6 +227,7 @@ class SequenceProcessor:
         intr_d = jnp.asarray(np.asarray(intr, np.float32)[None])
         memory = ESTMemory.create(
             1, self.memory_size, self.model.ndepths, h // 4, w // 4, 16,
+            dtype=self.model.dtype or jnp.float32,
         )
 
         outs = []

@@ -88,10 +88,10 @@ class EpipolarTransformer(nn.Module):
             2 * c, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype,
             name="gate_conv",
         )(xh)
-        r = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="reset_gate_norm")(
+        r = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="reset_gate_norm")(
             gates[..., :c]
         )
-        u = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="update_gate_norm")(
+        u = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="update_gate_norm")(
             gates[..., c:]
         )
         r = nn.sigmoid(r)
@@ -101,7 +101,7 @@ class EpipolarTransformer(nn.Module):
             c, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype,
             name="output_conv",
         )(jnp.concatenate([x, r * h], axis=-1))
-        o = nn.GroupNorm(num_groups=1, epsilon=1e-5, name="output_norm")(o)
+        o = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="output_norm")(o)
         y = jnp.tanh(o)
         return u * h + (1.0 - u) * y
 

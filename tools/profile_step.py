@@ -82,6 +82,12 @@ def main():
     p.add_argument("--resnet", type=int, default=50)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--trace", type=str, default=None)
+    p.add_argument("--train-batch", type=int, default=1,
+                   help="per-chip batch for the train-step timing")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialized train step (jax.checkpoint)")
+    p.add_argument("--skip-components", action="store_true",
+                   help="only run the train-step section")
     args = p.parse_args()
 
     import jax
@@ -110,8 +116,13 @@ def main():
     intr = jnp.asarray(np.array(
         [[[288.9, 0, (w - 1) / 2], [0, 288.9, (h - 1) / 2], [0, 0, 1]]],
         np.float32))
-    variables = model.init(jax.random.key(0), imgs, poses, intr, train=False)
-    memory = ESTMemory.create(1, 2, nd, hq, wq, 16)
+    # jitted init: eager init is pathologically slow on remote TPU backends
+    variables = jax.jit(
+        lambda r: model.init(r, imgs, poses, intr, train=False)
+    )(jax.random.key(0))
+    memory = ESTMemory.create(
+        1, 2, nd, hq, wq, 16, dtype=model.dtype or jnp.float32
+    )
     memory = memory.replace(valid=jnp.ones_like(memory.valid))
 
     # --- full step
@@ -120,56 +131,59 @@ def main():
         out, st = model.apply(v, i, p, k, memory=m, use_est=True, train=False)
         return out["depth"]
 
-    t_full = timeit(full, variables, imgs, poses, intr, memory, vary=1)
-    print(f"full ESTM step:        {1e3*t_full:8.2f} ms  ({1/t_full:.1f} fps)")
+    if not args.skip_components:
+        t_full = timeit(full, variables, imgs, poses, intr, memory, vary=1)
+        print(f"full ESTM step:        {1e3*t_full:8.2f} ms  "
+              f"({1/t_full:.1f} fps)")
 
     if args.trace:
         with jax.profiler.trace(args.trace):
             jax.block_until_ready(full(variables, imgs, poses, intr, memory))
         print(f"trace written to {args.trace}")
 
-    # --- PSM features (3 frames)
-    psm = PSMFeatureNet(dtype=dtype)
-    pv = {"params": variables["params"]["matching_feature"],
-          "batch_stats": variables["batch_stats"]["matching_feature"]}
-    x3 = jnp.asarray(rng.normal(size=(3, h, w, 3)).astype(np.float32)).astype(dtype)
-    t = timeit(jax.jit(psm.apply), pv, x3, vary=1)
-    print(f"PSM features (3 imgs): {1e3*t:8.2f} ms")
+    if not args.skip_components:
+        # --- PSM features (3 frames)
+        psm = PSMFeatureNet(dtype=dtype)
+        pv = {"params": variables["params"]["matching_feature"],
+              "batch_stats": variables["batch_stats"]["matching_feature"]}
+        x3 = jnp.asarray(rng.normal(size=(3, h, w, 3)).astype(np.float32)).astype(dtype)
+        t = timeit(jax.jit(psm.apply), pv, x3, vary=1)
+        print(f"PSM features (3 imgs): {1e3*t:8.2f} ms")
 
-    # --- ResNet (1 target frame)
-    res = ResNetEncoder(args.resnet, dtype=dtype)
-    rv = {"params": variables["params"]["semantic_feature"],
-          "batch_stats": variables["batch_stats"]["semantic_feature"]}
-    x1 = x3[:1]
-    t = timeit(jax.jit(lambda v, x: res.apply(v, x)[-1]), rv, x1, vary=1)
-    print(f"ResNet-{args.resnet} (1 img):    {1e3*t:8.2f} ms")
+        # --- ResNet (1 target frame)
+        res = ResNetEncoder(args.resnet, dtype=dtype)
+        rv = {"params": variables["params"]["semantic_feature"],
+              "batch_stats": variables["batch_stats"]["semantic_feature"]}
+        x1 = x3[:1]
+        t = timeit(jax.jit(lambda v, x: res.apply(v, x)[-1]), rv, x1, vary=1)
+        print(f"ResNet-{args.resnet} (1 img):    {1e3*t:8.2f} ms")
 
-    # --- plane-sweep warp (2 neighbors)
-    feat = jnp.asarray(rng.normal(size=(2, hq, wq, 32)).astype(np.float32)).astype(dtype)
-    proj = camera_projection(jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0),
-                             jnp.tile(poses[0, :2], (1, 1, 1)))
-    dv = jnp.tile(jnp.linspace(0.01, 10.0, nd)[None], (2, 1))
-    t = timeit(jax.jit(plane_sweep_warp), feat, proj, proj, dv, vary=0)
-    print(f"plane-sweep x2:        {1e3*t:8.2f} ms")
+        # --- plane-sweep warp (2 neighbors)
+        feat = jnp.asarray(rng.normal(size=(2, hq, wq, 32)).astype(np.float32)).astype(dtype)
+        proj = camera_projection(jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0),
+                                 jnp.tile(poses[0, :2], (1, 1, 1)))
+        dv = jnp.tile(jnp.linspace(0.01, 10.0, nd)[None], (2, 1))
+        t = timeit(jax.jit(plane_sweep_warp), feat, proj, proj, dv, vary=0)
+        print(f"plane-sweep x2:        {1e3*t:8.2f} ms")
 
-    # --- frustum warp (2 memory neighbors, keys+values fused = 32ch)
-    vol = jnp.asarray(rng.normal(size=(2, nd, hq, wq, 32)).astype(np.float32))
-    rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).astype(jnp.float32)
-    k2 = jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0)
-    t = timeit(
-        jax.jit(lambda v, r, k, d: frustum_warp(v, r, k, d, 0.01, 10 / 63)),
-        vol, rel, k2, dv, vary=0,
-    )
-    print(f"frustum warp x2:       {1e3*t:8.2f} ms")
+        # --- frustum warp (2 memory neighbors, keys+values fused = 32ch)
+        vol = jnp.asarray(rng.normal(size=(2, nd, hq, wq, 32)).astype(np.float32))
+        rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).astype(jnp.float32)
+        k2 = jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0)
+        t = timeit(
+            jax.jit(lambda v, r, k, d: frustum_warp(v, r, k, d, 0.01, 10 / 63)),
+            vol, rel, k2, dv, vary=0,
+        )
+        print(f"frustum warp x2:       {1e3*t:8.2f} ms")
 
-    # --- decoder 3D conv stack proxy: dres chain on [1, D, H/4, W/4, 32]
-    from estdepth_tpu.models.decoder import ConvBNRelu3D
+        # --- decoder 3D conv stack proxy: dres chain on [1, D, H/4, W/4, 32]
+        from estdepth_tpu.models.decoder import ConvBNRelu3D
 
-    cv = jnp.asarray(rng.normal(size=(1, nd, hq, wq, 32)).astype(np.float32)).astype(dtype)
-    conv3 = ConvBNRelu3D(32, dtype=dtype)
-    c3v = conv3.init(jax.random.key(0), cv)
-    t = timeit(jax.jit(conv3.apply), c3v, cv, vary=1)
-    print(f"one conv3d 32ch:       {1e3*t:8.2f} ms  (decoder has ~7)")
+        cv = jnp.asarray(rng.normal(size=(1, nd, hq, wq, 32)).astype(np.float32)).astype(dtype)
+        conv3 = ConvBNRelu3D(32, dtype=dtype)
+        c3v = conv3.init(jax.random.key(0), cv)
+        t = timeit(jax.jit(conv3.apply), c3v, cv, vary=1)
+        print(f"one conv3d 32ch:       {1e3*t:8.2f} ms  (decoder has ~7)")
 
     # --- training step (flagship config, single chip, V=5 window)
     from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_window
@@ -185,13 +199,16 @@ def main():
         est_transformer=True, bn_axis_name="data", dtype=dtype,
     )
     cfg = SyntheticSceneConfig(height=h, width=w)
-    batch = synthetic_window(cfg, n_frames=5)
+    batch = synthetic_window(cfg, n_frames=5, batch=args.train_batch)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
-    state = create_train_state(tmodel, jax.random.key(0), batch, tx)
+    state = create_train_state(
+        tmodel, jax.random.key(0),
+        jax.tree.map(lambda x: x[:1], batch), tx,
+    )
     state = replicate(state, mesh)
     sharded = shard_batch(batch, mesh)
-    step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
+    step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0, remat=args.remat)
 
     rng_b = np.random.default_rng(1)
 
@@ -212,7 +229,10 @@ def main():
     for _ in range(n_it):
         state, _ = one_step(state)
     t = (time.perf_counter() - t0) / n_it
-    print(f"train step (V=5, B=1): {1e3*t:8.2f} ms  ({1/t:.1f} steps/s/chip)")
+    tag = " remat" if args.remat else ""
+    bt = args.train_batch
+    print(f"train step (V=5, B={bt}{tag}): {1e3*t:8.2f} ms  "
+          f"({1/t:.2f} steps/s/chip, {bt/t:.2f} windows/s/chip)")
 
 
 if __name__ == "__main__":
