@@ -167,7 +167,9 @@ def main():
         print(f"plane-sweep x2:        {1e3*t:8.2f} ms")
 
         # --- frustum warp (2 memory neighbors, keys+values fused = 32ch)
-        vol = jnp.asarray(rng.normal(size=(2, nd, hq, wq, 32)).astype(np.float32))
+        vol = jnp.asarray(
+            rng.normal(size=(2, nd, hq, wq, 32)).astype(np.float32)
+        ).astype(dtype)
         rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).astype(jnp.float32)
         k2 = jnp.tile(intr / 4, (2, 1, 1)).at[:, 2, 2].set(1.0)
         t = timeit(
