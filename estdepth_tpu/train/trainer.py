@@ -102,6 +102,7 @@ def make_train_step(
     depth_max: float,
     loss_weight: float = 0.8,
     remat: bool = False,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns jitted (state, batch, clip_norm) -> (state, scalars).
@@ -113,6 +114,15 @@ def make_train_step(
     trades ~1.5x FLOPs for dropping all forward activations from HBM,
     enabling larger per-chip batches (the cost volumes dominate activation
     memory at ~250 MB per target window).
+
+    grad_accum: split the per-device batch into this many microbatches and
+    accumulate gradients over a lax.scan before the single optimizer
+    update. One chip's working set stays that of B/grad_accum while the
+    effective batch is B — the measured v5e HBM ceiling is B=1/chip
+    without it (ARCHITECTURE.md), so this is the way to scale effective
+    batch beyond one window per chip. BN batch statistics update per
+    microbatch (equivalent to running the microbatches as separate steps,
+    like the reference's B=1-per-GPU accumulation-free recipe).
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -138,9 +148,34 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch, clip_norm):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (scalars, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch
-        )
+        if grad_accum > 1:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]
+                ),
+                batch,
+            )
+
+            def accum(carry, mb):
+                grads_acc, stats = carry
+                (_, (scalars, stats)), g = grad_fn(
+                    state.params, stats, mb
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                return (grads_acc, stats), scalars
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, p.dtype), state.params
+            )
+            (grads, new_stats), scalars_seq = jax.lax.scan(
+                accum, (zeros, state.batch_stats), micro
+            )
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            scalars = jax.tree.map(lambda s: jnp.mean(s, 0), scalars_seq)
+        else:
+            (_, (scalars, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
         # NCCL-allreduce equivalent over ICI (train_hybrid.py:180)
         grads = jax.lax.pmean(grads, "data")
         scalars = jax.lax.pmean(scalars, "data")

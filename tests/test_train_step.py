@@ -68,3 +68,49 @@ def test_schedule_values():
     np.testing.assert_allclose(float(sched(1999)), 4e-5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(2000)), 2e-5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(4000)), 1e-5, rtol=1e-6)
+
+
+def test_grad_accum_matches_plain_step_on_duplicated_microbatches():
+    """grad_accum=2 over two IDENTICAL microbatches must produce exactly the
+    same parameter update as the plain B=1 step on that data: per-microbatch
+    BN stats equal the B=1 stats, so the accumulated (averaged) gradient is
+    the plain gradient. (BN *running* stats get the momentum update applied
+    once per microbatch — expected to differ.)"""
+    mesh = create_mesh(1)
+    model = DepthNetHybrid(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True, bn_axis_name="data",
+    )
+    import optax
+
+    b1 = _tiny_batch(1)
+    b2 = jax.tree.map(lambda x: jnp.concatenate([x, x], 0), b1)
+    # SGD, not Adam: the update is linear in the gradient, so the
+    # comparison tests the accumulation math itself (Adam's g/sqrt(v)
+    # amplifies fp-reordering noise on near-zero gradients to +-lr)
+    tx = optax.sgd(1e-3)
+    state0 = create_train_state(model, jax.random.key(0), b1, tx)
+
+    plain = make_train_step(model, tx, mesh, 0.5, 8.0)
+    accum = make_train_step(model, tx, mesh, 0.5, 8.0, grad_accum=2)
+
+    def fresh_state():
+        # the step donates its state argument; each call needs its own copy
+        return replicate(jax.tree.map(jnp.copy, state0), mesh)
+
+    s_plain, sc_plain = plain(
+        fresh_state(), shard_batch(b1, mesh), jnp.float32(10.0)
+    )
+    s_accum, sc_accum = accum(
+        fresh_state(), shard_batch(b2, mesh), jnp.float32(10.0)
+    )
+
+    np.testing.assert_allclose(
+        float(sc_accum["loss"]), float(sc_plain["loss"]), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        s_accum.params, s_plain.params,
+    )

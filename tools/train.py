@@ -81,6 +81,14 @@ def parse_args():
                         "(train_hybrid.py:167)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward during backward (larger batches)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over this many microbatches "
+                        "per step (effective batch = batch-per-device x "
+                        "devices, HBM working set = one microbatch). At "
+                        "the flagship 320x256x64 config the base step "
+                        "already fills v5e HBM — use at reduced "
+                        "resolution (measured working: 256x192) or on "
+                        "larger-memory parts (ARCHITECTURE.md)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host")
     return p.parse_args()
@@ -237,8 +245,11 @@ def main():
               f"(restore_part={args.restore_part})")
 
     state = replicate(state, mesh)
+    if args.batch_per_device % args.grad_accum:
+        raise SystemExit("--batch-per-device must be divisible by --grad-accum")
     step_fn = make_train_step(
         model, tx, mesh, args.depth_min, args.depth_max, remat=args.remat,
+        grad_accum=args.grad_accum,
     )
     logger = ScalarLogger(args.logdir) if jax.process_index() == 0 else None
     meter = DictAverageMeter()
