@@ -114,3 +114,34 @@ def test_grad_accum_matches_plain_step_on_duplicated_microbatches():
         ),
         s_accum.params, s_plain.params,
     )
+
+
+def test_training_converges_on_fixed_window():
+    """Overfit proof: repeated steps on one fixed synthetic window must
+    drive the multi-scale loss down substantially — the end-to-end
+    evidence that forward, backward, sync-BN, clipping, and Adam actually
+    learn (the reference has no equivalent check; its evidence was
+    eyeballing train logs)."""
+    mesh = create_mesh(1)
+    model = DepthNetHybrid(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True, bn_axis_name="data",
+    )
+    batch = _tiny_batch(1)
+    sched = warmup_multistep_schedule(
+        5e-4, steps_per_epoch=1000, warmup_steps=5
+    )
+    tx = make_optimizer(sched)
+    state = replicate(
+        create_train_state(model, jax.random.key(0), batch, tx), mesh
+    )
+    sharded = shard_batch(batch, mesh)
+    step = make_train_step(model, tx, mesh, 0.5, 8.0)
+
+    losses = []
+    for _ in range(30):
+        state, scalars = step(state, sharded, jnp.float32(10.0))
+        losses.append(float(scalars["loss"]))
+    assert np.all(np.isfinite(losses))
+    # robust to step-to-step noise: compare first-5 vs last-5 means
+    assert np.mean(losses[-5:]) < 0.6 * np.mean(losses[:5]), losses

@@ -143,8 +143,12 @@ def main():
                     mask = sample["dmasks"][0, ti]
                     errs.append(score(refined, gt, mask))
                 if args.outdir and args.save_maps:
+                    # both maps the reference saves per target: refined
+                    # scale-0 and fused-head scale-2 (eval_hybrid.py:259-308)
                     base = os.path.join(args.outdir, f"{name}_{wi:04d}_{ti}")
                     np.save(base + "_depth.npy", refined.astype(np.float16))
+                    np.save(base + "_init.npy",
+                            np.asarray(depth[0, ti, 2]).astype(np.float16))
                     save_image(
                         base + "_depth.jpg",
                         colorize_depth(refined, args.depth_min, args.depth_max),
