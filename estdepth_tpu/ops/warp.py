@@ -59,6 +59,29 @@ def plane_sweep_warp(
     return out.reshape(b, d, h, w, src_feat.shape[-1])
 
 
+def set_volume_border(
+    volume: jnp.ndarray, border_value: float
+) -> jnp.ndarray:
+    """Set every face voxel of [B, D, H, W, C] to border_value.
+
+    Equivalent of _set_vol_border (homo_utils.py:305-320), used by the
+    reference's warp_volume border-padding mode (:271-275)."""
+    b, d, h, w, c = volume.shape
+    di = jnp.arange(d)
+    hi = jnp.arange(h)
+    wi = jnp.arange(w)
+    border = (
+        ((di == 0) | (di == d - 1))[:, None, None]
+        | ((hi == 0) | (hi == h - 1))[None, :, None]
+        | ((wi == 0) | (wi == w - 1))[None, None, :]
+    )
+    return jnp.where(
+        border[None, :, :, :, None],
+        jnp.asarray(border_value, volume.dtype),
+        volume,
+    )
+
+
 def frustum_warp(
     volume: jnp.ndarray,
     rel_pose: jnp.ndarray,
@@ -66,6 +89,8 @@ def frustum_warp(
     depth_values: jnp.ndarray,
     depth_min: float,
     depth_interval: float,
+    padding_mode: str = "zeros",
+    padding_value: float = 0.0,
 ) -> jnp.ndarray:
     """Resample a source-view frustum volume into the target-view frustum.
 
@@ -82,7 +107,11 @@ def frustum_warp(
         (homo_utils.py:188).
 
     Returns:
-      [B, D, H, W, C] target-frustum volume, trilinear, zeros out of range.
+      [B, D, H, W, C] target-frustum volume, trilinear; out-of-range
+      samples are 0 for padding_mode="zeros" (the decoder's path), or
+      clamp-sampled against a border shell set to `padding_value` for
+      padding_mode="border" (warp_volume's optional mode,
+      homo_utils.py:271-275 + _set_vol_border).
     """
     b, d, h, w, _ = volume.shape
 
@@ -95,5 +124,18 @@ def frustum_warp(
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index
-    out = trilinear_sample_stacked(volume, x, y, zi)
+    if padding_mode == "border":
+        # clamp-to-border sampling = the valid-mask-free clamped gather:
+        # pre-clamping the coordinates makes the sampler's validity
+        # zeroing a no-op, and the border shell carries padding_value
+        out = trilinear_sample_stacked(
+            set_volume_border(volume, padding_value),
+            jnp.clip(x, 0.0, w - 1.0),
+            jnp.clip(y, 0.0, h - 1.0),
+            jnp.clip(zi, 0.0, d - 1.0),
+        )
+    elif padding_mode == "zeros":
+        out = trilinear_sample_stacked(volume, x, y, zi)
+    else:
+        raise ValueError(f"unknown padding_mode: {padding_mode!r}")
     return out.reshape(b, d, h, w, volume.shape[-1])

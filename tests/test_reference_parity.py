@@ -241,6 +241,24 @@ def test_frustum_warp_matches_reference(ctx, rng):
     want = want.permute(0, 2, 3, 4, 1).numpy()
     np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-4, atol=1e-4)
 
+    # border-padding mode (homo_utils.py:271-275 + _set_vol_border)
+    ours_b = frustum_warp(
+        jnp.asarray(vol), jnp.asarray(rel[None]), jnp.asarray(intr_s1),
+        jnp.asarray(dv), DEPTH_MIN, DEPTH_INTERVAL,
+        padding_mode="border", padding_value=0.5,
+    )
+    want_b = hu.warp_volume(
+        torch.from_numpy(vol).permute(0, 4, 1, 2, 3).contiguous(),
+        dv_lowres.view(1, 1, NDEPTHS, h * w),
+        torch.from_numpy(rel[None].astype(np.float32)),
+        torch.from_numpy(intr_s1),
+        pixel_grid, DEPTH_MIN, DEPTH_INTERVAL,
+        padding_mode="border", padding_value=0.5,
+    ).permute(0, 2, 3, 4, 1).numpy()
+    np.testing.assert_allclose(
+        np.asarray(ours_b), want_b, rtol=1e-4, atol=1e-4
+    )
+
 
 def _run_ours(ctx, use_est: bool, memory=None):
     outputs, state = ctx.model.apply(
