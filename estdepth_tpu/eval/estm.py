@@ -30,7 +30,15 @@ from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
 
 class ESTMRunner:
-    """Host-side streaming driver around the jitted window step."""
+    """Host-side streaming driver around the jitted window step.
+
+    Throughput note: push_frame dispatches asynchronously and returns a
+    device array — the caller chooses the fetch discipline. Reading each
+    result immediately is the zero-added-latency protocol; holding frame
+    t's result and reading it only after pushing frame t+1 overlaps the
+    device->host transfer with the next step's compute (measured ~2x
+    streaming throughput, bench.py streaming_pipelined_fps; the
+    tools/eval_estm.py scene loop uses this one-frame-deep pipeline)."""
 
     def __init__(
         self,

@@ -185,11 +185,43 @@ def _write_reference_layout(outdir, scene, idx, refined, init, probs,
 
 
 def run_scene(runner, frames, args, outdir=None, scene=""):
+    """Streaming eval with a one-frame-deep fetch pipeline: frame t's step
+    is dispatched, THEN frame t-1's depth is read/scored/saved while t
+    computes on the device. Every map is still fetched; the overlap was
+    measured at ~2x streaming throughput (bench.py
+    streaming_pipelined_fps vs streaming_fps) because the device->host
+    transfer is half the per-frame wall time through this path."""
     from estdepth_tpu.utils.viz import colorize_depth, save_image
+
+    def consume(pending):
+        out, cidx, cf = pending
+        depth, probs = out if isinstance(out, tuple) else (out, None)
+        # runner output is trimmed to the two scored maps: index 0 is the
+        # refined scale-0 map, index 1 the fused-head scale-2 map
+        refined = np.asarray(depth[0, 0], dtype=np.float32)
+        init = np.asarray(depth[0, 1], dtype=np.float32)
+        err = (
+            score(refined, cf["dmap"], cf["dmask"])
+            if cf.get("dmap") is not None else None
+        )
+        if outdir and args.reference_layout and probs is not None:
+            _write_reference_layout(
+                outdir, scene, cidx, refined, init, np.asarray(probs),
+                args.depth_max,
+            )
+        elif outdir and args.save_maps:
+            base = os.path.join(outdir, f"{scene}_{cidx:06d}")
+            np.save(base + "_depth.npy", refined.astype(np.float16))
+            np.save(base + "_init.npy", init.astype(np.float16))
+            save_image(base + "_depth.jpg",
+                       colorize_depth(refined, args.depth_min,
+                                      args.depth_max))
+        return err
 
     runner.reset()
     times, errs = [], []
     emitted = 0
+    pending = None  # (out, center_idx, center_frame) awaiting fetch
     window = []  # recent frames; the emitted depth is the CENTER frame's
     for idx, f in enumerate(frames):
         window.append((idx, f))
@@ -197,32 +229,24 @@ def run_scene(runner, frames, args, outdir=None, scene=""):
             window.pop(0)
         t0 = time.perf_counter()
         out = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        if pending is not None:
+            err = consume(pending)
+            pending = None
+            if err is not None:
+                errs.append(err)
         if out is not None:
-            depth, probs = out if isinstance(out, tuple) else (out, None)
-            np.asarray(depth)  # force completion (relay: fetch, not block)
-            times.append(time.perf_counter() - t0)
-            refined = np.asarray(depth[0, 0])  # scale-0 (refined) map
-            init = np.asarray(depth[0, 2])     # scale-2 (fused head) map
             # score/save against the window's center frame
             # (eval_hybrid_seq.py:202: img_paths[lwindow // 2])
             cidx, cf = window[args.lwindow // 2]
-            if cf.get("dmap") is not None:
-                errs.append(score(refined, cf["dmap"], cf["dmask"]))
-            if outdir and args.reference_layout and probs is not None:
-                _write_reference_layout(
-                    outdir, scene, cidx, refined, init, np.asarray(probs),
-                    args.depth_max,
-                )
-            elif outdir and args.save_maps:
-                base = os.path.join(outdir, f"{scene}_{cidx:06d}")
-                np.save(base + "_depth.npy", refined.astype(np.float16))
-                np.save(base + "_init.npy", init.astype(np.float16))
-                save_image(base + "_depth.jpg",
-                           colorize_depth(refined, args.depth_min,
-                                          args.depth_max))
+            pending = (out, cidx, cf)
+            times.append(time.perf_counter() - t0)
             emitted += 1
         if args.max_frames and emitted >= args.max_frames:
             break
+    if pending is not None:
+        err = consume(pending)
+        if err is not None:
+            errs.append(err)
     return times, errs
 
 
@@ -243,9 +267,13 @@ def main():
         )
         runner = None
     else:
+        # fetch only the two maps the protocol saves/scores (refined
+        # scale-0 + fused scale-2, eval_hybrid_seq.py:200-258) — 2x less
+        # device->host transfer per frame than all four scales
         runner = ESTMRunner(
             model, variables, args.height, args.width, args.lwindow,
             args.memory_size, return_probs=args.reference_layout,
+            output_scales=(0, 2),
         )
 
     def process(frames, outdir, scene):
