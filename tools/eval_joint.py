@@ -50,6 +50,10 @@ def parse_args():
     p.add_argument("--max-windows", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
+    p.add_argument("--save-probs", action="store_true",
+                   help="also dump per-target init/refined probability maps "
+                        "(eval_hybrid.py:59-62 save_init_prob/"
+                        "save_refined_prob, default off there too)")
     return p.parse_args()
 
 
@@ -80,7 +84,12 @@ class JointRunner:
                 poses=pose[:, None],
                 valid=jnp.ones((key.shape[0], 1), jnp.bool_),
             )
-            return outputs["depth"], new_memory
+            # probs: [B, T, 2, H, W] — (init_prob, fused_prob) per target
+            # (eval_hybrid.py:154-188 save_init_prob/save_refined_prob)
+            probs = jnp.stack(
+                [outputs["init_prob"], outputs["fused_prob"]], axis=2
+            )
+            return outputs["depth"], probs, new_memory
 
         self._step = jax.jit(step, static_argnames=("use_est",))
         self.memory = None
@@ -103,10 +112,10 @@ class JointRunner:
             self.memory = self.memory.replace(
                 valid=jnp.ones_like(self.memory.valid)
             )
-        depth, self.memory = self._step(
+        depth, probs, self.memory = self._step(
             self.variables, imgs, poses, intr, self.memory, use_est=use_est
         )
-        return depth  # [B, T, 4, H, W]
+        return depth, probs  # [B, T, 4, H, W], [B, T, 2, H, W]
 
 
 def main():
@@ -130,7 +139,7 @@ def main():
         runner.reset()
         errs = []
         for wi, sample in enumerate(windows_iter):
-            depth = runner.run_window(
+            depth, probs = runner.run_window(
                 jnp.asarray(sample["imgs"]),
                 jnp.asarray(sample["cam_poses"]),
                 jnp.asarray(sample["cam_intr"]),
@@ -153,6 +162,16 @@ def main():
                         base + "_depth.jpg",
                         colorize_depth(refined, args.depth_min, args.depth_max),
                     )
+                    if args.save_probs:
+                        from estdepth_tpu.utils.viz import colorize_probmap
+
+                        for pi, kind in enumerate(("init_prob",
+                                                   "refined_prob")):
+                            pmap = np.asarray(probs[0, ti, pi])
+                            np.save(f"{base}_{kind}.npy",
+                                    pmap.astype(np.float16))
+                            save_image(f"{base}_{kind}.jpg",
+                                       colorize_probmap(pmap))
             if args.max_windows and wi + 1 >= args.max_windows:
                 break
         return errs
