@@ -67,6 +67,8 @@ class TrainConfig:
     clip_late: float = 1.0
     clip_switch_epoch: int = 3
     batch_per_device: int = 1
+    grad_accum: int = 1  # microbatches per step (trainer.make_train_step)
+    remat: bool = False  # rematerialize forward during backward
     seed: int = 1
     loss_scale_weight: float = 0.8  # per-scale weight 0.8**scale (model_hybrid.py:219)
     sync_bn: bool = True

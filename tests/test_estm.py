@@ -74,3 +74,57 @@ def test_estm_first_window_matches_no_transformer_path():
     np.testing.assert_allclose(
         np.asarray(d), np.asarray(outputs["depth"][:, 0]), atol=1e-4
     )
+
+
+def test_nondefault_window_and_memory_sizes():
+    """lwindow=5 / memory_size=3 streaming agrees with the scan processor
+    at the same configuration — pins that nothing hardcodes the flagship
+    lwindow=3 / memory=2 (reference flags --lwindow/--memory_size,
+    eval_hybrid_seq.py:60,70)."""
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.eval.estm import ESTMRunner
+    from estdepth_tpu.eval.sequence import make_sequence_processor
+    from estdepth_tpu.models import DepthNetHybrid
+
+    h, w, t, lw, mem = 64, 96, 8, 5, 3
+    model = DepthNetHybrid(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, (1, t, h, w, 3)).astype(np.float32)
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, None], (1, t, 1, 1))
+    for i in range(t):
+        poses[0, i, 0, 3] = 0.04 * i
+        poses[0, i, 1, 3] = 0.01 * i
+    poses = jnp.asarray(poses)
+    intr = jnp.asarray(np.array(
+        [[[80.0, 0, (w - 1) / 2], [0, 80.0, (h - 1) / 2], [0, 0, 1]]],
+        np.float32,
+    ))
+    variables = jax.jit(
+        lambda r: model.init(r, frames[:, :lw], poses[:, :lw], intr,
+                             train=False)
+    )(jax.random.key(0))
+
+    runner = ESTMRunner(model, variables, h, w, lwindow=lw, memory_size=mem)
+    stream_out = []
+    for i in range(t):
+        out = runner.push_frame(
+            np.asarray(frames[0, i]), np.asarray(poses[0, i]),
+            np.asarray(intr[0]),
+        )
+        if out is not None:
+            stream_out.append(np.asarray(out[0]))
+    assert len(stream_out) == t - lw + 1
+
+    proc = make_sequence_processor(model, lw, mem)
+    scan_out = np.asarray(proc(variables, frames, poses, intr)[0])
+    assert scan_out.shape[0] == t - lw + 1
+    np.testing.assert_allclose(
+        np.stack(stream_out), scan_out, rtol=1e-4, atol=1e-4
+    )
