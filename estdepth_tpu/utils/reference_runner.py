@@ -23,6 +23,8 @@ import sys
 import types
 from typing import Any, Dict
 
+import numpy as np
+
 REFERENCE_ROOT = "/root/reference"
 
 
@@ -154,11 +156,108 @@ def install_torchvision_stub() -> None:
     models.BasicBlock = BasicBlock
     models.Bottleneck = Bottleneck
 
+    # torchvision.transforms subset used by the reference's m_preprocess
+    # (data/m_preprocess.py:10-37): ToTensor / Normalize / Compose with the
+    # standard public semantics. The eval datasets construct these but
+    # never apply them to the images (SURVEY §2.2); the train dataset only
+    # holds a ToTensor it does not call in read_sample_train.
+    import torch as _torch
+
+    class _ToTensor:
+        def __call__(self, pic):
+            a = np.asarray(pic)
+            if a.ndim == 2:
+                a = a[:, :, None]
+            t = _torch.from_numpy(np.ascontiguousarray(a.transpose(2, 0, 1)))
+            if a.dtype == np.uint8:
+                t = t.to(_torch.float32) / 255.0
+            return t
+
+    class _Normalize:
+        def __init__(self, mean, std):
+            self.mean = _torch.tensor(mean).view(-1, 1, 1)
+            self.std = _torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class _Compose:
+        def __init__(self, ts):
+            self.transforms = ts
+
+        def __call__(self, x):
+            for t in self.transforms:
+                x = t(x)
+            return x
+
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.ToTensor = _ToTensor
+    transforms.Normalize = _Normalize
+    transforms.Compose = _Compose
+
     tv = types.ModuleType("torchvision")
     tv.models = models
+    tv.transforms = transforms
     tv.__version__ = "0.0-estdepth-stub"
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.transforms"] = transforms
+
+
+def install_natsort_stub() -> None:
+    """Register a minimal `natsort.natsorted` (idempotent).
+
+    Standard natural-sort semantics (digit runs compared numerically);
+    the reference only sorts zero-padded `frame-%06d.*` globs with it
+    (general_eval.py:37-38), where this is also identical to plain sort.
+    """
+    if "natsort" in sys.modules:
+        return
+    import re as _re
+
+    def natsorted(seq, key=None):
+        def nkey(s):
+            s2 = key(s) if key is not None else s
+            return [
+                int(t) if t.isdigit() else t
+                for t in _re.split(r"(\d+)", str(s2))
+            ]
+
+        return sorted(seq, key=nkey)
+
+    m = types.ModuleType("natsort")
+    m.natsorted = natsorted
+    sys.modules["natsort"] = m
+
+    # `path.Path` (the path.py package, general_eval.py:3): os.PathLike and
+    # str-interoperable — pathlib.Path covers the reference's usage
+    if "path" not in sys.modules:
+        import pathlib
+
+        pm = types.ModuleType("path")
+        pm.Path = pathlib.Path
+        sys.modules["path"] = pm
+
+
+def import_reference_datasets(root: str = REFERENCE_ROOT):
+    """Make the reference's data/ package importable and return its modules.
+
+    Returns a namespace with: scannet, scannet_select, general_eval,
+    general_eval_seq — the ACTUAL reference dataset code, runnable on a
+    fake on-disk scene for protocol parity tests.
+    """
+    install_torchvision_stub()
+    install_natsort_stub()
+    if root not in sys.path:
+        sys.path.append(root)
+    import importlib
+
+    ns = types.SimpleNamespace()
+    ns.scannet = importlib.import_module("data.scannet")
+    ns.scannet_select = importlib.import_module("data.scannet_select")
+    ns.general_eval = importlib.import_module("data.general_eval")
+    ns.general_eval_seq = importlib.import_module("data.general_eval_seq")
+    return ns
 
 
 def install_torch12_semantics() -> None:
