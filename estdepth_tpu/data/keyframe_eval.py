@@ -60,12 +60,12 @@ class KeyframeEvalDataset:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         scene, index = self.entries[i]
         sp = os.path.join(self.dataset_path, scene)
-        imgs, poses, dmaps, dmasks = [], [], [], []
+        imgs, poses, dmaps, dmasks, paths = [], [], [], [], []
         for f in self.window_indices(index):
+            img_path = os.path.join(sp, "rgb", f"{f}.jpg")
+            paths.append(img_path)
             imgs.append(
-                io_utils.read_image_rgb(
-                    os.path.join(sp, "rgb", f"{f}.jpg"), self.width, self.height
-                )
+                io_utils.read_image_rgb(img_path, self.width, self.height)
             )
             poses.append(io_utils.read_pose(os.path.join(sp, "pose", f"{f}.txt")))
             depth = io_utils.read_depth_mm(
@@ -88,4 +88,5 @@ class KeyframeEvalDataset:
             "dmasks": np.stack(dmasks[1:-1])[None],
             "scene": scene,
             "index": index,
+            "img_paths": paths,  # reference 'img_path' (scannet_select.py:139)
         }

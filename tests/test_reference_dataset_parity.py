@@ -201,3 +201,46 @@ def test_window_eval_dataset_matches_reference(ref_data, fake_7scenes):
         our_s["cam_intr"][0], ref_s["cam_intr"][0].numpy(), atol=1e-4,
         err_msg="intrinsics",
     )
+
+
+def test_keyframe_dataset_matches_reference(ref_data, fake_scene, tmp_path):
+    """scannet_select.ScannetTestDataset (keyframe ±10/20/30/40 selection
+    incl. the index<10 flip) vs data/keyframe_eval.py. Two documented
+    reference quirks NOT replicated: its __len__ references a nonexistent
+    attribute (crashes — we use the list length), and it returns UNSCALED
+    640x480 intrinsics regardless of the resize (we scale; the dataset is
+    unused by any reference entry script, scannet_select.py:51)."""
+    from estdepth_tpu.data.keyframe_eval import KeyframeEvalDataset
+
+    listfile = tmp_path / "keyframes.txt"
+    listfile.write_text("scene0042_00 6\nscene0042_00 104\n")
+
+    ref_ds = ref_data.scannet_select.ScannetTestDataset(
+        fake_scene, str(listfile), height=H, width=W,
+        depth_min=0.1, depth_max=10.0,
+    )
+    ours = KeyframeEvalDataset(
+        fake_scene, str(listfile), height=H, width=W,
+        depth_min=0.1, depth_max=10.0,
+    )
+
+    assert len(ours) == 2  # reference __len__ is broken; ours works
+    for k in range(2):
+        ref_s = ref_ds[k]
+        our_s = ours[k]
+        assert [os.path.basename(p) for p in ref_s["img_path"]] == [
+            os.path.basename(p) for p in our_s["img_paths"]
+        ], f"keyframe window {k} (incl. index<10 flip)"
+        np.testing.assert_allclose(
+            our_s["imgs"][0],
+            ref_s["imgs"][0].permute(0, 2, 3, 1).numpy(), atol=1e-4,
+            err_msg="images",
+        )
+        np.testing.assert_allclose(
+            our_s["dmaps"][0], ref_s["dmaps"][0, 1:-1, 0].numpy(),
+            atol=1e-6, err_msg="depths",
+        )
+        np.testing.assert_allclose(
+            our_s["cam_poses"][0], ref_s["cam_poses"][0].numpy(),
+            atol=1e-6, err_msg="poses",
+        )
