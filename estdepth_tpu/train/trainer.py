@@ -117,12 +117,13 @@ def make_train_step(
 
     grad_accum: split the per-device batch into this many microbatches and
     accumulate gradients over a lax.scan before the single optimizer
-    update. One chip's working set stays that of B/grad_accum while the
-    effective batch is B — the measured v5e HBM ceiling is B=1/chip
-    without it (ARCHITECTURE.md), so this is the way to scale effective
-    batch beyond one window per chip. BN batch statistics update per
-    microbatch (equivalent to running the microbatches as separate steps,
-    like the reference's B=1-per-GPU accumulation-free recipe).
+    update. One chip's working set stays close to that of B/grad_accum
+    while the effective batch is B. Measured envelope (ARCHITECTURE.md):
+    at the flagship 320x256x64 config even accum=2 exceeds v5e HBM (the
+    base step already fills the chip); at 256x192 it trains on-chip with
+    effective batch 2. BN batch statistics update per microbatch
+    (equivalent to running the microbatches as separate steps, like the
+    reference's B=1-per-GPU accumulation-free recipe).
     """
 
     def loss_fn(params, batch_stats, batch):
