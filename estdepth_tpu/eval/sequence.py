@@ -234,6 +234,9 @@ class SequenceProcessor:
         emitted = 0
         start = 0
         feats = None
+        pending = None  # previous chunk's device result, fetched one late:
+        # the device->host transfer overlaps the next chunk's compute (the
+        # same one-deep fetch pipeline as the streaming drivers)
         while emitted < n_windows:
             end = start + self.chunk
             if end <= t:
@@ -257,8 +260,11 @@ class SequenceProcessor:
                 depths, memory, feats = self._chunk_cont(
                     self.variables, fr, po, intr_d, memory, feats,
                 )
+            if pending is not None:
+                outs.append(np.asarray(pending[0][0, : pending[1]]))
             take = min(self.stride, n_windows - emitted)
-            outs.append(np.asarray(depths[0, :take]))
+            pending = (depths, take)
             emitted += take
             start += self.stride
+        outs.append(np.asarray(pending[0][0, : pending[1]]))
         return np.concatenate(outs, axis=0)
