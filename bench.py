@@ -289,14 +289,25 @@ def main():
         extras["serving_error"] = f"{type(e).__name__}: {e}"[:120]
 
     try:
-        # throughput: 4 independent streams batched in one step
+        # throughput: 4 independent streams batched in one step, each
+        # stream fed DISTINCT frames (push_frame accepts [B, H, W, 3])
         brunner = ESTMRunner(
             model, variables, h, w, lwindow=3, memory_size=2, batch=4,
             output_scales=(0,), output_dtype=jnp.bfloat16,
         )
-        bfps = _time_streaming(
-            brunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
-        )
+        rng_b = np.random.default_rng(7)
+        bframes = [
+            {
+                "img": np.stack([
+                    f["img"] + rng_b.normal(0, 2.0, f["img"].shape)
+                    for _ in range(4)
+                ]).astype(np.float32),
+                "cam_pose": np.stack([f["cam_pose"]] * 4),
+                "cam_intr": f["cam_intr"],
+            }
+            for f in frames[: 6 + N_TIMED_PALLAS]
+        ]
+        bfps = _time_streaming(brunner, bframes, N_TIMED_PALLAS)
         extras["batch4_total_fps"] = round(4 * bfps, 3)
     except Exception as e:
         extras["batch4_error"] = f"{type(e).__name__}: {e}"[:120]

@@ -78,8 +78,8 @@ class ESTMRunner:
         self.batch = batch
         self.height = height
         self.width = width
-        self._window_imgs = []   # device arrays [H, W, 3]
-        self._window_poses = []  # host [4, 4]
+        self._window_imgs = []   # device arrays [B, H, W, 3]
+        self._window_poses = []  # host [B, 4, 4]
         self._intr_dev = None
         self._memory_filled = False
         self._feats = None  # carried matching features of shared frames
@@ -91,16 +91,16 @@ class ESTMRunner:
 
         def step(variables, frames, poses, intr, memory, use_est,
                  feats=None):
-            # frames: tuple of lwindow [H, W, 3] device arrays.
+            # frames: tuple of lwindow [B, H, W, 3] device arrays (one
+            # per stream for batch > 1 — independent streams batched into
+            # one step).
             # feats: [B, lwindow-1, H/4, W/4, C] matching features of the
             # lwindow-1 frames shared with the previous window. Eval-mode
             # BN makes per-frame features deterministic, so carrying them
             # is EXACT — the matching encoder runs on only the NEW frame
             # in steady state instead of the whole window.
-            imgs = jnp.stack(frames)[None]
-            if batch > 1:
-                imgs = jnp.tile(imgs, (batch, 1, 1, 1, 1))
-            poses_b = jnp.tile(poses[None], (batch, 1, 1, 1))
+            imgs = jnp.stack(frames, axis=1)  # [B, lw, H, W, 3]
+            poses_b = jnp.stack(poses, axis=1)  # [B, lw, 4, 4]
             b, lw, h_img, w_img, _ = imgs.shape
             if feats is None:  # first window: all frames
                 all_feats = model.apply(
@@ -174,11 +174,21 @@ class ESTMRunner:
     def push_frame(
         self, img: np.ndarray, pose: np.ndarray, intr: np.ndarray
     ) -> Optional[jnp.ndarray]:
-        """Feed one frame; returns [B, 4, H, W] center-frame depth (scale s
-        at index s) once the window is full, else None."""
+        """Feed one frame per stream; returns [B, S, H, W] center-frame
+        depth (S = len(output_scales)) once the window is full, else None.
+
+        img may be [H, W, 3] (replicated to every stream when batch > 1)
+        or [B, H, W, 3] with one DISTINCT frame per stream; pose likewise
+        [4, 4] or [B, 4, 4]."""
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3:
+            img = np.broadcast_to(img[None], (self.batch,) + img.shape)
+        pose = np.asarray(pose, np.float32)
+        if pose.ndim == 2:
+            pose = np.broadcast_to(pose[None], (self.batch, 4, 4))
         # async upload of the ONE new frame; everything else is resident
-        self._window_imgs.append(jax.device_put(np.asarray(img, np.float32)))
-        self._window_poses.append(np.asarray(pose, np.float32))
+        self._window_imgs.append(jax.device_put(np.ascontiguousarray(img)))
+        self._window_poses.append(np.ascontiguousarray(pose))
         if len(self._window_imgs) < self.lwindow:
             return None
 
@@ -189,7 +199,7 @@ class ESTMRunner:
                 k = np.tile(k[:1], (self.batch, 1, 1))
             self._intr_dev = jax.device_put(k)
 
-        poses = np.stack(self._window_poses)  # [lw, 4, 4] tiny transfer
+        poses = tuple(self._window_poses)  # lw x [B, 4, 4] tiny transfers
         args = (tuple(self._window_imgs), poses, self._intr_dev, self.memory)
         if self._pass_variables:
             args = (self.variables,) + args

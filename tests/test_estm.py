@@ -128,3 +128,56 @@ def test_nondefault_window_and_memory_sizes():
     np.testing.assert_allclose(
         np.stack(stream_out), scan_out, rtol=1e-4, atol=1e-4
     )
+
+
+def test_batched_streams_match_independent_runs():
+    """batch=2 with DISTINCT per-stream frames == two independent
+    single-stream runners (multi-stream serving correctness: streams must
+    not leak into each other through the batched step or the memory)."""
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.eval.estm import ESTMRunner
+    from estdepth_tpu.models import DepthNetHybrid
+
+    h, w, t = 64, 96, 5
+    model = DepthNetHybrid(
+        ndepths=8, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    rng = np.random.default_rng(5)
+    streams = rng.uniform(0, 255, (2, t, h, w, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None, None], (2, t, 1, 1))
+    for s in range(2):
+        for i in range(t):
+            poses[s, i, 0, 3] = (0.03 + 0.02 * s) * i
+    intr = np.array(
+        [[80.0, 0, (w - 1) / 2], [0, 80.0, (h - 1) / 2], [0, 0, 1]],
+        np.float32,
+    )
+    variables = jax.jit(
+        lambda r: model.init(
+            r, jnp.asarray(streams[:1, :3]), jnp.asarray(poses[:1, :3]),
+            jnp.asarray(intr[None]), train=False,
+        )
+    )(jax.random.key(0))
+
+    batched = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2,
+                         batch=2)
+    singles = [
+        ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
+        for _ in range(2)
+    ]
+    for i in range(t):
+        out_b = batched.push_frame(streams[:, i], poses[:, i], intr)
+        outs_s = [
+            singles[s].push_frame(streams[s, i], poses[s, i], intr)
+            for s in range(2)
+        ]
+        if out_b is not None:
+            for s in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(out_b[s]), np.asarray(outs_s[s][0]),
+                    rtol=2e-3, atol=2e-3,
+                    err_msg=f"stream {s} frame {i}",
+                )
