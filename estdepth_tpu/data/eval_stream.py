@@ -27,8 +27,12 @@ class StreamEvalDataset:
         depth_max: float = 5.0,
         frame_interval: int = 10,
         scannet_layout: bool = True,
+        start_index: int = 0,
     ):
+        """start_index: offset of the first subsampled frame — the
+        reference's start_i (general_eval_seq.py:48-49)."""
         self.data_dir = data_dir
+        self.start_index = start_index
         self.height = height
         self.width = width
         self.depth_min = depth_min
@@ -44,7 +48,7 @@ class StreamEvalDataset:
         )
         triplets = _frame_paths(folder, self.scannet_layout)
         self.frames = []
-        for t in triplets[:: self.frame_interval]:
+        for t in triplets[self.start_index :: self.frame_interval]:
             if io_utils.pose_is_finite(np.loadtxt(t[2])):
                 self.frames.append(t)
 

@@ -84,18 +84,29 @@ def build_windows(
     frame_interval: int,
     seq_inter: int,
     scannet_layout: bool,
+    eval_all: bool = False,
 ) -> List[List[Tuple[str, str, str]]]:
     """Windows of seq_length frames spaced frame_interval apart, window
-    start stride seq_inter (general_eval.py:51-72)."""
+    start stride seq_inter (general_eval.py:51-72).
+
+    eval_all: also enumerate windows from every start offset in
+    [0, frame_interval) — the reference's --eval_all densification
+    (general_eval.py:46-50, start_indexs=interval)."""
     triplets = _frame_paths(folder, scannet_layout)
     num = len(triplets)
     windows = []
-    for start in range(0, num - seq_length * frame_interval, seq_inter):
-        window = [triplets[start + s * frame_interval] for s in range(seq_length)]
-        if all(
-            io_utils.pose_is_finite(np.loadtxt(t[2])) for t in window
-        ):
-            windows.append(window)
+    starts = range(frame_interval) if eval_all else range(1)
+    for start_i in starts:
+        for start in range(start_i, num - seq_length * frame_interval,
+                           seq_inter):
+            window = [
+                triplets[start + s * frame_interval]
+                for s in range(seq_length)
+            ]
+            if all(
+                io_utils.pose_is_finite(np.loadtxt(t[2])) for t in window
+            ):
+                windows.append(window)
     return windows
 
 
@@ -113,6 +124,7 @@ class WindowEvalDataset:
         frame_interval: int = 10,
         seq_inter: Optional[int] = None,
         scannet_layout: bool = False,
+        eval_all: bool = False,
     ):
         self.data_dir = data_dir
         self.height = height
@@ -129,6 +141,7 @@ class WindowEvalDataset:
             else (seq_length - 2) * frame_interval
         )
         self.scannet_layout = scannet_layout
+        self.eval_all = eval_all
         self.cam_intr = io_utils.scannet_intrinsics(width, height)
         self.windows: List[List[Tuple[str, str, str]]] = []
 
@@ -138,7 +151,7 @@ class WindowEvalDataset:
         )
         self.windows = build_windows(
             folder, self.seq_length, self.frame_interval, self.seq_inter,
-            self.scannet_layout,
+            self.scannet_layout, self.eval_all,
         )
 
     def __len__(self):

@@ -244,3 +244,45 @@ def test_keyframe_dataset_matches_reference(ref_data, fake_scene, tmp_path):
             our_s["cam_poses"][0], ref_s["cam_poses"][0].numpy(),
             atol=1e-6, err_msg="poses",
         )
+
+
+def test_eval_all_and_start_index_match_reference(
+    ref_data, fake_7scenes, fake_scene
+):
+    """The reference's window-densification (--eval_all: every start
+    offset, general_eval.py:46-50) and streaming start_i offset
+    (general_eval_seq.py:48-49) vs our eval_all / start_index options."""
+    from estdepth_tpu.data.eval_windows import WindowEvalDataset
+
+    ref_ds = ref_data.general_eval.SevenScenes(
+        fake_7scenes, image_size=[W, H], seq_length=5,
+        frame_interval=10, seq_inter=3, eval_all=True,
+    )
+    ref_ds.reset("chess", "seq-03")
+    ours = WindowEvalDataset(
+        fake_7scenes, height=H, width=W, seq_length=5,
+        frame_interval=10, scannet_layout=False, eval_all=True,
+    )
+    ours.reset("chess", "seq-03")
+    assert len(ref_ds) == len(ours) > 10
+    for k in range(0, len(ours), 7):
+        assert [os.path.basename(p) for p in ref_ds[k]["img_path"]] == [
+            os.path.basename(p) for p in ours[k]["img_paths"]
+        ], f"eval_all window {k}"
+
+    ref_seq = ref_data.general_eval_seq.SevenScenesSeq(
+        fake_scene, image_size=[W, H], frame_interval=10,
+        start_i=3, eval_dataset="scannet",
+    )
+    ref_seq.reset("scene0042_00")
+    ours_seq = StreamEvalDataset(
+        fake_scene, height=H, width=W, frame_interval=10,
+        scannet_layout=True, start_index=3,
+    )
+    ours_seq.reset("scene0042_00")
+    assert len(ref_seq) == len(ours_seq) > 3
+    our_frames = list(iter(ours_seq))
+    for k in (0, len(ours_seq) - 1):
+        assert os.path.basename(ref_seq[k]["img_path"]) == os.path.basename(
+            our_frames[k]["img_path"]
+        ), f"start_i frame {k}"
