@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--lwindow", type=int, default=3)
     p.add_argument("--memory-size", type=int, default=2)
     p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--start-index", type=int, default=0,
+                   help="offset of the first subsampled frame (reference "
+                        "start_i, general_eval_seq.py:48-49)")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
@@ -309,6 +312,7 @@ def main():
             depth_min=args.depth_min, depth_max=min(args.depth_max, 5.0),
             frame_interval=args.frame_interval,
             scannet_layout=args.eval_dataset == "scannet",
+            start_index=args.start_index,
         )
         if args.eval_dataset == "scannet":
             scenes = read_split_file(args.testlist) if args.testlist else (

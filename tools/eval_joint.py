@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--resnet", type=int, default=50)
     p.add_argument("--seq-length", type=int, default=5)
     p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--eval-all", action="store_true",
+                   help="densify: windows from every start offset "
+                        "(reference --eval_all, general_eval.py:46-50)")
     p.add_argument("--no-est", action="store_true")
     p.add_argument("--keyframe-list", type=str, default=None,
                    help="evaluate (scene, index) keyframe windows "
@@ -215,6 +218,7 @@ def main():
             depth_min=0.3, depth_max=5.0, seq_length=args.seq_length,
             frame_interval=args.frame_interval,
             scannet_layout=args.eval_dataset == "scannet",
+            eval_all=args.eval_all,
         )
         if args.eval_dataset == "scannet":
             scenes = read_split_file(args.testlist) if args.testlist else (
