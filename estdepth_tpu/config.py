@@ -51,7 +51,12 @@ class DataConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
-    """Optimization settings (reference train_hybrid.py:80-97, README.md:62-78)."""
+    """Optimization settings (reference train_hybrid.py:80-97, README.md:62-78).
+
+    These dataclasses are the documented recipe card for library users —
+    the CLI tools take the same values via argparse flags and do NOT read
+    this config (by design, mirroring the reference's flag-only setup).
+    """
 
     lr: float = 4e-5
     weight_decay: float = 4e-4

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from estdepth_tpu.eval.output import trim_depth
 from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
 
@@ -124,11 +125,9 @@ class ESTMRunner:
             # center-frame depth (eval_hybrid_seq.py:200-258 saves
             # ("depth",0,0) refined and ("depth",0,2) fused-head maps);
             # output_scales/output_dtype trim the per-frame fetch
-            depth = outputs["depth"][:, 0]
-            if tuple(output_scales) != (0, 1, 2, 3):
-                depth = depth[:, jnp.array(output_scales)]
-            if output_dtype is not None:
-                depth = depth.astype(output_dtype)
+            depth = trim_depth(
+                outputs["depth"][:, 0], output_scales, output_dtype
+            )
             if return_probs:
                 probs = jnp.stack(
                     [outputs["init_prob"][:, 0], outputs["fused_prob"][:, 0]],

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from estdepth_tpu.eval.output import trim_depth
 from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
 
@@ -58,11 +59,9 @@ def make_sequence_processor(
             memory=memory if use_est else None,
             use_est=use_est, train=False, matching_feats=feats,
         )
-        depth = outputs["depth"][:, 0]
-        if tuple(output_scales) != (0, 1, 2, 3):
-            depth = depth[:, jnp.array(output_scales)]
-        if output_dtype is not None:
-            depth = depth.astype(output_dtype)
+        depth = trim_depth(
+            outputs["depth"][:, 0], output_scales, output_dtype
+        )
         return depth, memory.push(
             key, value, pose, reference_pose_pairing=reference_pose_pairing,
         )
@@ -152,11 +151,9 @@ class SequenceProcessor:
                 memory=memory if use_est else None,
                 use_est=use_est, train=False, matching_feats=feats,
             )
-            depth = outputs["depth"][:, 0]
-            if tuple(output_scales) != (0, 1, 2, 3):
-                depth = depth[:, jnp.array(output_scales)]
-            if output_dtype is not None:
-                depth = depth.astype(output_dtype)
+            depth = trim_depth(
+                outputs["depth"][:, 0], output_scales, output_dtype
+            )
             return depth, memory.push(
                 key, value, pose,
                 reference_pose_pairing=reference_pose_pairing,

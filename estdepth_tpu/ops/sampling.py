@@ -147,8 +147,8 @@ def bilinear_sample_stacked(
     valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
-    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
-    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
+    x0 = jnp.clip(jnp.floor(xf), 0.0, max(w - 2.0, 0.0))
+    y0 = jnp.clip(jnp.floor(yf), 0.0, max(h - 2.0, 0.0))
     wx = (xf - x0).astype(src.dtype)[..., None]
     wy = (yf - y0).astype(src.dtype)[..., None]
 
@@ -218,9 +218,9 @@ def trilinear_sample_stacked(
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
     zf = jnp.clip(zf, 0.0, d - 1.0)
-    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
-    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
-    z0 = jnp.minimum(jnp.floor(zf), d - 2.0)
+    x0 = jnp.clip(jnp.floor(xf), 0.0, max(w - 2.0, 0.0))
+    y0 = jnp.clip(jnp.floor(yf), 0.0, max(h - 2.0, 0.0))
+    z0 = jnp.clip(jnp.floor(zf), 0.0, max(d - 2.0, 0.0))
     wx = (xf - x0).astype(src.dtype)[..., None]
     wy = (yf - y0).astype(src.dtype)[..., None]
     wz = (zf - z0).astype(src.dtype)[..., None]
@@ -271,8 +271,8 @@ def bilinear_sample_patch(
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
 
-    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
-    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
+    x0 = jnp.clip(jnp.floor(xf), 0.0, max(w - 2.0, 0.0))
+    y0 = jnp.clip(jnp.floor(yf), 0.0, max(h - 2.0, 0.0))
     wx = (xf - x0).astype(src.dtype)[..., None]
     wy = (yf - y0).astype(src.dtype)[..., None]
 
@@ -327,9 +327,9 @@ def trilinear_sample_patch(
     yf = jnp.clip(yf, 0.0, h - 1.0)
     zf = jnp.clip(zf, 0.0, d - 1.0)
 
-    x0 = jnp.minimum(jnp.floor(xf), w - 2.0)
-    y0 = jnp.minimum(jnp.floor(yf), h - 2.0)
-    z0 = jnp.minimum(jnp.floor(zf), d - 2.0)
+    x0 = jnp.clip(jnp.floor(xf), 0.0, max(w - 2.0, 0.0))
+    y0 = jnp.clip(jnp.floor(yf), 0.0, max(h - 2.0, 0.0))
+    z0 = jnp.clip(jnp.floor(zf), 0.0, max(d - 2.0, 0.0))
     wx = (xf - x0).astype(src.dtype)[..., None]
     wy = (yf - y0).astype(src.dtype)[..., None]
     wz = (zf - z0).astype(src.dtype)[..., None]

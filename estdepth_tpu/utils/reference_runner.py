@@ -211,8 +211,24 @@ def install_natsort_stub() -> None:
     the reference only sorts zero-padded `frame-%06d.*` globs with it
     (general_eval.py:37-38), where this is also identical to plain sort.
     """
+    # `path.Path` (the path.py package, general_eval.py:3): os.PathLike and
+    # str-interoperable — pathlib.Path covers the reference's usage.
+    # Registered FIRST, independent of whether natsort needs stubbing.
+    if "path" not in sys.modules:
+        import pathlib
+
+        pm = types.ModuleType("path")
+        pm.Path = pathlib.Path
+        sys.modules["path"] = pm
+
     if "natsort" in sys.modules:
         return
+    try:  # a real natsort wins if installed
+        import natsort  # noqa: F401
+
+        return
+    except ImportError:
+        pass
     import re as _re
 
     def natsorted(seq, key=None):
@@ -228,15 +244,6 @@ def install_natsort_stub() -> None:
     m = types.ModuleType("natsort")
     m.natsorted = natsorted
     sys.modules["natsort"] = m
-
-    # `path.Path` (the path.py package, general_eval.py:3): os.PathLike and
-    # str-interoperable — pathlib.Path covers the reference's usage
-    if "path" not in sys.modules:
-        import pathlib
-
-        pm = types.ModuleType("path")
-        pm.Path = pathlib.Path
-        sys.modules["path"] = pm
 
 
 def import_reference_datasets(root: str = REFERENCE_ROOT):

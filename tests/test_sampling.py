@@ -168,3 +168,30 @@ def test_stacked_sampler_gradients_match_pointwise(rng):
     np.testing.assert_allclose(
         np.asarray(g_new), np.asarray(g_ref), rtol=1e-5, atol=1e-5
     )
+
+
+def test_stacked_samplers_handle_size_one_axes(rng):
+    """Size-1 sampled axes must not produce start index -1 under
+    PROMISE_IN_BOUNDS (the corner-start clamp is [0, max(size-2, 0)])."""
+    from estdepth_tpu.ops.sampling import (
+        bilinear_sample,
+        bilinear_sample_stacked,
+        trilinear_sample,
+        trilinear_sample_stacked,
+    )
+
+    src2 = jnp.asarray(rng.normal(size=(1, 1, 6, 3)).astype(np.float32))
+    x = jnp.asarray(np.array([[0.0, 2.5, 5.0]], np.float32))
+    y = jnp.asarray(np.zeros((1, 3), np.float32))
+    np.testing.assert_allclose(
+        np.asarray(bilinear_sample_stacked(src2, x, y)),
+        np.asarray(bilinear_sample(src2, x, y)), rtol=1e-6, atol=1e-7,
+    )
+
+    src3 = jnp.asarray(rng.normal(size=(1, 1, 5, 6, 3)).astype(np.float32))
+    z = jnp.asarray(np.zeros((1, 3), np.float32))
+    y3 = jnp.asarray(np.array([[0.0, 1.5, 4.0]], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(trilinear_sample_stacked(src3, x, y3, z)),
+        np.asarray(trilinear_sample(src3, x, y3, z)), rtol=1e-6, atol=1e-7,
+    )

@@ -154,10 +154,13 @@ def main():
                     gt = sample["dmaps"][0, ti]
                     mask = sample["dmasks"][0, ti]
                     errs.append(score(refined, gt, mask))
+                # --save-maps and --save-probs are independent switches,
+                # like the reference's save_*_depth / save_*_prob flags
+                # (eval_hybrid.py:59-62)
+                base = os.path.join(args.outdir or "", f"{name}_{wi:04d}_{ti}")
                 if args.outdir and args.save_maps:
                     # both maps the reference saves per target: refined
                     # scale-0 and fused-head scale-2 (eval_hybrid.py:259-308)
-                    base = os.path.join(args.outdir, f"{name}_{wi:04d}_{ti}")
                     np.save(base + "_depth.npy", refined.astype(np.float16))
                     np.save(base + "_init.npy",
                             np.asarray(depth[0, ti, 2]).astype(np.float16))
@@ -165,16 +168,16 @@ def main():
                         base + "_depth.jpg",
                         colorize_depth(refined, args.depth_min, args.depth_max),
                     )
-                    if args.save_probs:
-                        from estdepth_tpu.utils.viz import colorize_probmap
+                if args.outdir and args.save_probs:
+                    from estdepth_tpu.utils.viz import colorize_probmap
 
-                        for pi, kind in enumerate(("init_prob",
-                                                   "refined_prob")):
-                            pmap = np.asarray(probs[0, ti, pi])
-                            np.save(f"{base}_{kind}.npy",
-                                    pmap.astype(np.float16))
-                            save_image(f"{base}_{kind}.jpg",
-                                       colorize_probmap(pmap))
+                    for pi, kind in enumerate(("init_prob",
+                                               "refined_prob")):
+                        pmap = np.asarray(probs[0, ti, pi])
+                        np.save(f"{base}_{kind}.npy",
+                                pmap.astype(np.float16))
+                        save_image(f"{base}_{kind}.jpg",
+                                   colorize_probmap(pmap))
             if args.max_windows and wi + 1 >= args.max_windows:
                 break
         return errs

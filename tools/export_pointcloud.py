@@ -4,7 +4,8 @@
 Driver for the reference's point-cloud utilities
 (/root/reference/utils/utils.py:262-311 generate_pointcloud/local_pcd),
 which ship without an entry point: take the per-frame depth `.npy` dumps
-produced by tools/eval_estm.py / tools/eval_joint.py, back-project each
+produced by tools/eval_estm.py (stream-indexed; the joint tool's
+window-indexed dumps cannot be matched to poses here), back-project each
 through its camera pose, and write one fused ASCII PLY colored by the RGB
 frames.
 
@@ -19,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 
 import numpy as np
@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--start-index", type=int, default=0,
+                   help="MUST match the eval run's --start-index (dump "
+                        "indices are positions in the offset stream)")
     p.add_argument("--min-depth", type=float, default=0.3)
     p.add_argument("--max-depth", type=float, default=5.0)
     p.add_argument("--stride", type=int, default=4,
@@ -60,32 +63,14 @@ def _pred(preddir, scene, idx):
 
 
 def _frames(args):
-    if args.synthetic:
-        from estdepth_tpu.data.synthetic import (
-            SyntheticSceneConfig, synthetic_stream,
-        )
+    from tools._gt_stream import gt_frames
 
-        m = re.match(r"synthetic(\d+)", args.scene)
-        cfg = SyntheticSceneConfig(
-            height=args.height, width=args.width,
-            seed=int(m.group(1)) if m else 0,
-        )
-        yield from enumerate(synthetic_stream(cfg, n_frames=64))
-        return
-
-    from estdepth_tpu.data.eval_stream import StreamEvalDataset
-
-    ds = StreamEvalDataset(
-        args.datapath, args.height, args.width,
-        frame_interval=args.frame_interval,
-        scannet_layout=args.eval_dataset == "scannet",
+    yield from gt_frames(
+        args.scene, synthetic=args.synthetic, datapath=args.datapath,
+        eval_dataset=args.eval_dataset, height=args.height,
+        width=args.width, frame_interval=args.frame_interval,
+        start_index=args.start_index,
     )
-    if args.eval_dataset == "7scenes" and "_seq-" in args.scene:
-        base, seq = args.scene.rsplit("_", 1)
-        ds.reset(base, seq)
-    else:
-        ds.reset(args.scene)
-    yield from enumerate(iter(ds))
 
 
 def main():

@@ -9,8 +9,9 @@ score inline, but the decoupled workflow — score any directory of dumps,
 re-score with different masks/alignment without re-running the model — needs
 a standalone CLI. This is it.
 
-Prediction layouts understood (both produced by tools/eval_estm.py /
-tools/eval_joint.py):
+Prediction layouts understood (as produced by tools/eval_estm.py; the
+joint tool's window-indexed dumps are not scoreable here — their indices
+name (window, target) pairs, not stream frames):
   * flat:      <preddir>/<scene>_<idx:06d>_depth.npy  (refined scale-0)
                <preddir>/<scene>_<idx:06d>_init.npy   (fused scale-2 head)
   * reference: <preddir>/<scene>/{refined_depth,init_depth}/<idx:06d>.npy
@@ -73,6 +74,10 @@ def parse_args():
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=320)
     p.add_argument("--frame-interval", type=int, default=10)
+    p.add_argument("--start-index", type=int, default=0,
+                   help="MUST match the eval run's --start-index: dump "
+                        "indices are positions in the offset subsampled "
+                        "stream")
     p.add_argument("--which", choices=["refined", "init"], default="refined",
                    help="which dumped map to score (reference naming: "
                         "'refined' = scale-0, 'init' = fused scale-2 head)")
@@ -117,33 +122,15 @@ def _discover_scenes(preddir: str) -> List[str]:
 
 def _gt_frames(args, scene: str) -> Iterator[Tuple[int, Dict[str, np.ndarray]]]:
     """(stream_index, frame-with-dmap/pose) pairs for one scene."""
-    if args.synthetic:
-        from estdepth_tpu.data.synthetic import (
-            SyntheticSceneConfig, synthetic_stream,
-        )
+    from tools._gt_stream import gt_frames
 
-        m = re.match(r"synthetic(\d+)", scene)
-        cfg = SyntheticSceneConfig(
-            height=args.height, width=args.width,
-            seed=int(m.group(1)) if m else 0,
-        )
-        yield from enumerate(synthetic_stream(cfg, n_frames=64))
-        return
-
-    from estdepth_tpu.data.eval_stream import StreamEvalDataset
-
-    ds = StreamEvalDataset(
-        args.datapath, args.height, args.width,
-        depth_min=args.min_depth, depth_max=args.max_depth,
-        frame_interval=args.frame_interval,
-        scannet_layout=args.eval_dataset == "scannet",
+    yield from gt_frames(
+        scene, synthetic=args.synthetic, datapath=args.datapath,
+        eval_dataset=args.eval_dataset, height=args.height,
+        width=args.width, frame_interval=args.frame_interval,
+        start_index=args.start_index, depth_min=args.min_depth,
+        depth_max=args.max_depth,
     )
-    if args.eval_dataset == "7scenes" and "_seq-" in scene:
-        base, seq = scene.rsplit("_", 1)
-        ds.reset(base, seq)
-    else:
-        ds.reset(scene)
-    yield from enumerate(iter(ds))
 
 
 def _resize_to(pred: np.ndarray, shape: Tuple[int, int]) -> np.ndarray:
