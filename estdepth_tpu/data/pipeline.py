@@ -48,7 +48,8 @@ class TrainLoader:
         self.seed = seed
 
     def steps_per_epoch(self) -> int:
-        per_shard = len(self.dataset) // self.num_shards
+        # matches epoch(): shards are padded up to equal length
+        per_shard = -(-len(self.dataset) // self.num_shards)
         return per_shard // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -56,6 +57,13 @@ class TrainLoader:
         (the DistributedSampler pattern)."""
         rng = np.random.default_rng(self.seed + epoch)
         order = rng.permutation(len(self.dataset))
+        # pad to a multiple of num_shards by repeating the head (torch
+        # DistributedSampler's padding): every shard yields the SAME number
+        # of batches, so no host dispatches an extra shard_map step whose
+        # collectives the others never enter (multi-host hang otherwise)
+        if len(order) % self.num_shards:
+            pad = self.num_shards - len(order) % self.num_shards
+            order = np.concatenate([order, order[:pad]])
         shard = order[self.shard_index :: self.num_shards]
         n_batches = len(shard) // self.batch_size
         batches = [
@@ -69,6 +77,18 @@ class TrainLoader:
         def produce():
             # exceptions must reach the consumer: a producer that dies
             # silently leaves the main thread blocked on q.get() forever
+            def put(item) -> bool:
+                # a plain q.put blocks forever on a full queue if the
+                # consumer abandoned the iterator; poll the stop event so
+                # the thread (and its worker pool) can exit
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 with ThreadPoolExecutor(max(self.num_workers, 1)) as pool:
                     for batch_ids in batches:
@@ -77,10 +97,11 @@ class TrainLoader:
                         samples = list(
                             pool.map(self.dataset.__getitem__, batch_ids)
                         )
-                        q.put(collate(samples))
-                q.put(None)
+                        if not put(collate(samples)):
+                            return
+                put(None)
             except BaseException as e:  # noqa: BLE001
-                q.put(e)
+                put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

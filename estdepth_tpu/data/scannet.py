@@ -110,7 +110,11 @@ class ScanNetTrainDataset:
         self.depth_max = depth_max
         self.min_valid_ratio = min_valid_ratio
         self.augment_prob = augment_prob
-        self._rng = np.random.default_rng(seed)
+        # NOTE: __getitem__ derives a per-(seed, index) Generator instead of
+        # sharing one — TrainLoader maps items over a thread pool, and
+        # numpy Generators are not thread-safe (shared state would produce
+        # undefined/correlated draws and break seeded reproducibility)
+        self.seed = seed
 
         if backend == "auto":
             from estdepth_tpu.data import native
@@ -149,7 +153,7 @@ class ScanNetTrainDataset:
     def __len__(self) -> int:
         return len(self.index)
 
-    def _read(self, i: int) -> Dict[str, np.ndarray]:
+    def _read(self, i: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         blob = self.index[i]
         if self.backend == "native":
             from estdepth_tpu.data import native
@@ -180,8 +184,8 @@ class ScanNetTrainDataset:
         assert ratios.min() > self.min_valid_ratio, (
             f"only {ratios.min():.0%} valid depth"
         )
-        if self.augment_prob > 0 and self._rng.uniform() < self.augment_prob:
-            imgs = photometric_augment(imgs, self._rng)
+        if self.augment_prob > 0 and rng.uniform() < self.augment_prob:
+            imgs = photometric_augment(imgs, rng)
         return {
             "imgs": imgs.astype(np.float32),        # [V,H,W,3]
             "cam_poses": poses.astype(np.float32),  # [V,4,4]
@@ -192,10 +196,13 @@ class ScanNetTrainDataset:
         }
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        # per-item generator: deterministic in (seed, index), safe under
+        # the loader's thread pool
+        rng = np.random.default_rng((self.seed, i))
         # corrupt-sample retry with random substitution (scannet.py:169-178)
         for _ in range(32):
             try:
-                return self._read(i)
+                return self._read(i, rng)
             except Exception:
-                i = int(self._rng.integers(0, len(self)))
+                i = int(rng.integers(0, len(self)))
         raise RuntimeError("too many consecutive corrupt samples")

@@ -169,6 +169,9 @@ class ESTMRunner:
         self.memory = self._fresh_memory()
         self._memory_filled = False
         self._feats = None
+        # the next scene may carry different intrinsics — re-upload on the
+        # first push_frame instead of reusing the previous scene's K
+        self._intr_dev = None
 
     def push_frame(
         self, img: np.ndarray, pose: np.ndarray, intr: np.ndarray

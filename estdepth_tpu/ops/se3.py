@@ -9,8 +9,15 @@ the two numpy conversion helpers, mirroring the reference split.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _einsum(spec, *args):
+    # pose algebra must be fp32-exact on TPU (CLAUDE.md: the default bf16
+    # matmul precision drifts coordinates by ~1/128)
+    return jnp.einsum(*((spec,) + args), precision=jax.lax.Precision.HIGHEST)
 
 
 def skew(phi: jnp.ndarray) -> jnp.ndarray:
@@ -33,7 +40,7 @@ def exp_map(ksai: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     theta = jnp.maximum(theta, eps)[:, :, None]  # [B,1,1]
 
     om = skew(omega)
-    om2 = jnp.einsum("bij,bjk->bik", om, om)
+    om2 = _einsum("bij,bjk->bik", om, om)
     eye = jnp.tile(jnp.eye(3, dtype=ksai.dtype)[None], (b, 1, 1))
 
     sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
@@ -43,7 +50,7 @@ def exp_map(ksai: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
         + (1 - cos_t) * om / (theta**2)
         + (theta - sin_t) * om2 / (theta**3)
     )
-    t = jnp.einsum("bij,bj->bi", v, upsilon)
+    t = _einsum("bij,bj->bi", v, upsilon)
 
     top = jnp.concatenate([rot, t[:, :, None]], axis=-1)
     bottom = jnp.tile(
@@ -71,7 +78,7 @@ def log_map(se3: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     theta = jnp.arccos(d)
     omega = theta * dr / (2.0 * jnp.sqrt(1.0 - d * d))
     om = skew(omega)
-    om2 = jnp.einsum("bij,bjk->bik", om, om)
+    om2 = _einsum("bij,bjk->bik", om, om)
     eye = jnp.tile(jnp.eye(3, dtype=se3.dtype)[None], (b, 1, 1))
     th = jnp.maximum(theta, eps)[:, :, None]
     v_inv = (
@@ -79,7 +86,7 @@ def log_map(se3: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
         - 0.5 * om
         + (1.0 - th / (2.0 * jnp.tan(th / 2.0))) * om2 / (th**2)
     )
-    upsilon = jnp.einsum("bij,bj->bi", v_inv, t)
+    upsilon = _einsum("bij,bj->bi", v_inv, t)
     return jnp.concatenate([omega, upsilon], axis=-1)
 
 

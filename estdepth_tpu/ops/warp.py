@@ -12,6 +12,7 @@ computation. A Pallas fused version lives in ops/pallas/.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from estdepth_tpu.ops import geometry
@@ -47,7 +48,12 @@ def plane_sweep_warp(
 
     rot, trans = geometry.relative_projection(src_proj, ref_proj)
     grid = geometry.pixel_grid(h, w)  # [3, H*W]
-    rot_xyz = jnp.einsum("bij,jn->bin", rot, grid)  # [B, 3, H*W]
+    # precision=HIGHEST: the TPU default bf16 matmul would round warp
+    # coordinates at pixel scale (CLAUDE.md invariant; CPU tests cannot
+    # catch this — CPU ignores matmul precision)
+    rot_xyz = jnp.einsum(
+        "bij,jn->bin", rot, grid, precision=jax.lax.Precision.HIGHEST
+    )  # [B, 3, H*W]
     # [B, 3, D, H*W]
     pts = rot_xyz[:, :, None, :] * depth_values[:, None, :, None]
     pts = pts + trans[:, :, None, None]
