@@ -56,6 +56,8 @@ class TrainLoader:
         """Deterministic per-epoch shuffle shared by all hosts, then shard
         (the DistributedSampler pattern)."""
         rng = np.random.default_rng(self.seed + epoch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # fresh retry draws per epoch
         order = rng.permutation(len(self.dataset))
         # pad to a multiple of num_shards by repeating the head (torch
         # DistributedSampler's padding): every shard yields the SAME number

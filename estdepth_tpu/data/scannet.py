@@ -195,10 +195,19 @@ class ScanNetTrainDataset:
             "dmasks": masks[1:-1],                     # [T,H,W]
         }
 
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the epoch into the per-item rng (called by TrainLoader) so
+        the corrupt-sample substitution draws fresh each epoch, like the
+        reference's unseeded random resample (scannet.py:169-178), while
+        staying deterministic and thread-safe."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        # per-item generator: deterministic in (seed, index), safe under
-        # the loader's thread pool
-        rng = np.random.default_rng((self.seed, i))
+        # per-item generator: deterministic in (seed, epoch, index), safe
+        # under the loader's thread pool
+        rng = np.random.default_rng(
+            (self.seed, getattr(self, "_epoch", 0), i)
+        )
         # corrupt-sample retry with random substitution (scannet.py:169-178)
         for _ in range(32):
             try:

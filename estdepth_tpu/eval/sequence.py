@@ -216,39 +216,90 @@ class SequenceProcessor:
         intr: np.ndarray,     # [3, 3]
     ) -> np.ndarray:
         """Returns [T - lwindow + 1, 4, H, W] center-frame depths."""
-        t, h, w, _ = frames.shape
-        lw = self.lwindow
-        assert t >= lw, f"scene shorter than the window ({t} < {lw})"
-        n_windows = t - lw + 1
+        return self.process_scenes([(frames, poses, intr)])[0]
 
-        intr_d = jnp.asarray(np.asarray(intr, np.float32)[None])
+    def process_scenes(self, scenes) -> list:
+        """Evaluate B INDEPENDENT scenes through one batched scan program.
+
+        scenes: list of (frames [T_i, H, W, 3], poses [T_i, 4, 4],
+        intr [3, 3]) tuples — lengths may differ; each scene's window
+        chain (first-window no-EST flag, ESTMemory FIFO) is independent
+        because the batch axis never mixes. Shorter scenes are padded to
+        the longest by repeating their last frame and the padded windows'
+        outputs dropped, so outputs are IDENTICAL to B separate
+        process_scene runs (tests/test_sequence.py pins this).
+
+        This is how a TPU beats the reference's one-scene-at-a-time
+        offline loop (eval_hybrid_seq.py:124-193): the gather/conv work of
+        B scenes shares each compiled launch. Returns a list of
+        [T_i - lwindow + 1, S, H, W] arrays, one per scene.
+        """
+        b = len(scenes)
+        lw = self.lwindow
+        ts = [np.asarray(s[0]).shape[0] for s in scenes]
+        for t in ts:
+            if t < lw:
+                raise ValueError(
+                    f"scene has {t} frames but the sliding window needs "
+                    f"at least {lw}"
+                )
+        t_max = max(ts)
+
+        def pad_scene(x, t):
+            x = np.asarray(x, np.float32)
+            if t == t_max:
+                return x
+            return np.concatenate(
+                [x, np.repeat(x[-1:], t_max - t, axis=0)], axis=0
+            )
+
+        frames_b = np.stack([pad_scene(s[0], t) for s, t in zip(scenes, ts)])
+        poses_b = np.stack([pad_scene(s[1], t) for s, t in zip(scenes, ts)])
+        intr_d = jnp.asarray(
+            np.stack([np.asarray(s[2], np.float32) for s in scenes])
+        )
+        h, w = frames_b.shape[2], frames_b.shape[3]
+        n_windows = [t - lw + 1 for t in ts]
+        max_windows = t_max - lw + 1
+
         memory = ESTMemory.create(
-            1, self.memory_size, self.model.ndepths, h // 4, w // 4, 16,
+            b, self.memory_size, self.model.ndepths, h // 4, w // 4, 16,
             dtype=self.model.dtype or jnp.float32,
         )
 
-        outs = []
+        outs = [[] for _ in range(b)]
         emitted = 0
         start = 0
         feats = None
         pending = None  # previous chunk's device result, fetched one late:
         # the device->host transfer overlaps the next chunk's compute (the
         # same one-deep fetch pipeline as the streaming drivers)
-        while emitted < n_windows:
+
+        def consume(p):
+            depths, base = p
+            fetched = np.asarray(depths)
+            for i in range(b):
+                take = min(self.stride, max(n_windows[i] - base, 0))
+                if take > 0:
+                    outs[i].append(fetched[i, :take])
+
+        while emitted < max_windows:
             end = start + self.chunk
-            if end <= t:
-                fr = frames[start:end]
-                po = poses[start:end]
+            if end <= t_max:
+                fr = frames_b[:, start:end]
+                po = poses_b[:, start:end]
             else:  # pad the tail by repeating the last frame
-                pad = end - t
+                pad = end - t_max
                 fr = np.concatenate(
-                    [frames[start:], np.repeat(frames[-1:], pad, axis=0)], 0
+                    [frames_b[:, start:],
+                     np.repeat(frames_b[:, -1:], pad, axis=1)], 1
                 )
                 po = np.concatenate(
-                    [poses[start:], np.repeat(poses[-1:], pad, axis=0)], 0
+                    [poses_b[:, start:],
+                     np.repeat(poses_b[:, -1:], pad, axis=1)], 1
                 )
-            fr = jnp.asarray(np.asarray(fr, np.float32)[None])
-            po = jnp.asarray(np.asarray(po, np.float32)[None])
+            fr = jnp.asarray(np.ascontiguousarray(fr))
+            po = jnp.asarray(np.ascontiguousarray(po))
             if feats is None:
                 depths, memory, feats = self._chunk_first(
                     self.variables, fr, po, intr_d, memory,
@@ -258,10 +309,9 @@ class SequenceProcessor:
                     self.variables, fr, po, intr_d, memory, feats,
                 )
             if pending is not None:
-                outs.append(np.asarray(pending[0][0, : pending[1]]))
-            take = min(self.stride, n_windows - emitted)
-            pending = (depths, take)
-            emitted += take
+                consume(pending)
+            pending = (depths, emitted)
+            emitted += self.stride
             start += self.stride
-        outs.append(np.asarray(pending[0][0, : pending[1]]))
-        return np.concatenate(outs, axis=0)
+        consume(pending)
+        return [np.concatenate(o, axis=0) for o in outs]

@@ -72,12 +72,14 @@ class ConvBNRelu3D(nn.Module):
     act: str = "relu"
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBN(
             self.features, (self.kernel,) * 3, 1, act=self.act,
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype, name="conv",
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            lane_pack=self.lane_pack, name="conv",
         )(x, train)
 
 
@@ -87,14 +89,25 @@ class StereoHead(nn.Module):
     channels: int = 16
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNRelu3D(
             self.channels, 3, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            name="conv0",
+            lane_pack=self.lane_pack, name="conv0",
         )(x, train)
-        x = nn.Conv(1, (1, 1, 1), padding="VALID", dtype=self.dtype, name="out")(x)
+        if self.lane_pack:
+            from estdepth_tpu.models.layers import PackedConv3D
+
+            x = PackedConv3D(
+                1, (1, 1, 1), use_bias=True, dtype=self.dtype,
+                kernel_init=nn.initializers.lecun_normal(), name="out",
+            )(x)
+        else:
+            x = nn.Conv(
+                1, (1, 1, 1), padding="VALID", dtype=self.dtype, name="out",
+            )(x)
         return x[..., 0]  # [N, D, H, W]
 
 
@@ -109,6 +122,13 @@ class DepthHybridDecoder(nn.Module):
     # pre-fusion neighbor values in one batched call (more parallel,
     # identical when num == 1, i.e. in ESTM streaming).
     sequential_fusion: bool = True
+    # Reference-faithful TRAIN-mode BN for stereo_head1: the reference calls
+    # it once per target INSIDE the fusion loop (hybrid_depth_decoder.py:256),
+    # so in train mode its BN normalizes per-target batches and its running
+    # stats update `num` times per step. Default folds all targets into one
+    # call (identical in eval mode; pooled batch stats in train — the
+    # TPU-native choice). See DepthNetHybrid.sequential_cost_bn.
+    sequential_head_bn: bool = False
     base_channels: int = 32
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
@@ -117,6 +137,13 @@ class DepthHybridDecoder(nn.Module):
     # there and in ARCHITECTURE.md; default off (XLA producer-fusion wins)
     use_pallas_attention: bool = False
     pallas_interpret: bool = False  # CPU-test mode for the kernel
+    # evaluate the 3D stack's convs lane-packed (ops/packed_conv.py) —
+    # exact same arithmetic, ~2x MXU output-lane utilization
+    lane_pack: bool = False
+    # route EST memory warps through frustum_warp(mode="plane_mix") — the
+    # measured-fast z-mix-matmul + 2D-gather reformulation (ops/warp.py);
+    # sub-plane-spacing deviation from the exact trilinear, so default off
+    fast_frustum: bool = False
 
     def setup(self):
         # num_ch_dec = [16, 32, ndepths, 128, 256] (decoder :52)
@@ -135,20 +162,22 @@ class DepthHybridDecoder(nn.Module):
         self.dispconv_0 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
 
         bc = self.base_channels
-        self.dres0_0 = ConvBNRelu3D(bc, **kw)
-        self.dres0_1 = ConvBNRelu3D(bc, **kw)
-        self.dres1_0 = ConvBNRelu3D(bc, **kw)
-        self.dres1_1 = ConvBNRelu3D(bc, **kw)
-        self.dres2 = ConvBNRelu3D(bc + 1, **kw)
-        self.key_layer = ConvBNRelu3D(bc // 2, **kw)
-        self.value_layer = ConvBNRelu3D(bc // 2, act="tanh", **kw)
-        self.stereo_head0 = StereoHead(bc // 2, **kw)
-        self.stereo_head1 = StereoHead(bc // 2, **kw)
+        kw3 = dict(kw, lane_pack=self.lane_pack)
+        self.dres0_0 = ConvBNRelu3D(bc, **kw3)
+        self.dres0_1 = ConvBNRelu3D(bc, **kw3)
+        self.dres1_0 = ConvBNRelu3D(bc, **kw3)
+        self.dres1_1 = ConvBNRelu3D(bc, **kw3)
+        self.dres2 = ConvBNRelu3D(bc + 1, **kw3)
+        self.key_layer = ConvBNRelu3D(bc // 2, **kw3)
+        self.value_layer = ConvBNRelu3D(bc // 2, act="tanh", **kw3)
+        self.stereo_head0 = StereoHead(bc // 2, **kw3)
+        self.stereo_head1 = StereoHead(bc // 2, **kw3)
         if self.est_transformer:
             self.est = EpipolarTransformer(
                 bc // 2, dtype=self.dtype,
                 use_pallas=self.use_pallas_attention,
                 pallas_interpret=self.pallas_interpret,
+                lane_pack=self.lane_pack,
             )
 
     def _semantic_unet(self, feats: List[jnp.ndarray], train: bool):
@@ -235,6 +264,7 @@ class DepthHybridDecoder(nn.Module):
         warped = frustum_warp(
             fold(kv), fold(rel), fold(k_rep), fold(dv_rep),
             depth_min, depth_interval,
+            mode="plane_mix" if self.fast_frustum else "exact",
         )
         warped = warped.reshape(b, num, nn_per_target, d, h, w, 2 * c)
         # neighbor-leading, targets folded into batch: [Nn, B*num, D, H, W, C]
@@ -317,6 +347,7 @@ class DepthHybridDecoder(nn.Module):
                 jnp.tile(cam_intr[:, None], (1, nn, 1, 1)).reshape(b * nn, 3, 3),
                 jnp.tile(depth_values[:, None], (1, nn, 1)).reshape(b * nn, -1),
                 depth_min, depth_interval,
+                mode="plane_mix" if self.fast_frustum else "exact",
             ).reshape(b, nn, d, h, w, 2 * c)
             warped = jnp.moveaxis(warped, 1, 0)  # [NN, B, D, H, W, 2C]
             valid_i = jnp.stack([all_valid[:, j] for j in nb_idx], 0)  # [NN,B]
@@ -382,9 +413,18 @@ class DepthHybridDecoder(nn.Module):
                 key_w, value_w, target_poses, cam_intr, depth_values,
                 depth_min, depth_interval, memory,
             )  # [B, num, D, H, W, C]
-            fused_logits = self.stereo_head1(
-                fused.reshape(bn, d, h, w, -1), train
-            )
+            if self.sequential_head_bn and train:
+                # reference loop order: one head call per target, each with
+                # its own BN batch stats + sequential running-stat updates
+                # (hybrid_depth_decoder.py:229,256)
+                fused_logits = jnp.stack(
+                    [self.stereo_head1(fused[:, i], train) for i in range(num)],
+                    axis=1,
+                ).reshape(bn, d, h, w)
+            else:
+                fused_logits = self.stereo_head1(
+                    fused.reshape(bn, d, h, w, -1), train
+                )
             state_value = fused[:, -1]
         else:
             fused_logits = self.stereo_head1(value, train)

@@ -39,6 +39,8 @@ class EpipolarTransformer(nn.Module):
     dtype: Optional[jnp.dtype] = None
     use_pallas: bool = False
     pallas_interpret: bool = False  # set for CPU tests
+    # lane-packed GRU convs (ops/packed_conv.py): exact, ~2x MXU fill
+    lane_pack: bool = False
 
     @nn.compact
     def __call__(
@@ -82,12 +84,24 @@ class EpipolarTransformer(nn.Module):
         else:
             h = jnp.zeros_like(target_value)
 
+        if self.lane_pack:
+            from estdepth_tpu.models.layers import PackedConv3D
+
+            def conv3(features, name):
+                return PackedConv3D(
+                    features, (3, 3, 3), use_bias=True, dtype=self.dtype,
+                    kernel_init=nn.initializers.lecun_normal(), name=name,
+                )
+        else:
+            def conv3(features, name):
+                return nn.Conv(
+                    features, (3, 3, 3), padding=[(1, 1)] * 3,
+                    dtype=self.dtype, name=name,
+                )
+
         x = target_value
         xh = jnp.concatenate([x, h], axis=-1)  # [B,D,H,W,2C]
-        gates = nn.Conv(
-            2 * c, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype,
-            name="gate_conv",
-        )(xh)
+        gates = conv3(2 * c, "gate_conv")(xh)
         r = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="reset_gate_norm")(
             gates[..., :c]
         )
@@ -97,10 +111,7 @@ class EpipolarTransformer(nn.Module):
         r = nn.sigmoid(r)
         u = nn.sigmoid(u)
 
-        o = nn.Conv(
-            c, (3, 3, 3), padding=[(1, 1)] * 3, dtype=self.dtype,
-            name="output_conv",
-        )(jnp.concatenate([x, r * h], axis=-1))
+        o = conv3(c, "output_conv")(jnp.concatenate([x, r * h], axis=-1))
         o = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, name="output_norm")(o)
         y = jnp.tanh(o)
         return u * h + (1.0 - u) * y

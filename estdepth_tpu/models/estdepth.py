@@ -44,11 +44,34 @@ class DepthNetHybrid(nn.Module):
     est_transformer: bool = True
     # reference-faithful in-window fusion order (see DepthHybridDecoder)
     sequential_fusion: bool = True
+    # Reference-faithful TRAIN-mode BN batching. The reference runs the
+    # cost-volume pre stack once per (target, neighbor) pair in loop order
+    # (model_hybrid.py:79-95 inside :152-164) and stereo_head1 once per
+    # target inside the fusion loop (hybrid_depth_decoder.py:256), so in
+    # train mode those BNs normalize with per-call batch statistics and
+    # their running stats update several times per step. The default folds
+    # everything into ONE call each (identical in eval-mode; pooled batch
+    # stats in train — the TPU-native choice). Enable for exact multi-step
+    # training parity runs (tests/test_reference_parity.py trajectory test).
+    sequential_cost_bn: bool = False
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     # fused Pallas EST attention (see DepthHybridDecoder) — default off
     use_pallas_attention: bool = False
     pallas_interpret: bool = False
+    # Route EST memory warps through the plane-mix frustum resample
+    # (ops/warp.py frustum_warp mode="plane_mix"): the per-voxel trilinear
+    # gather is the profiled bottleneck of the window step; this trades a
+    # sub-plane-spacing interpolation deviation for ~3x cheaper warps.
+    # Default off (exact reference semantics); accuracy pinned in
+    # tests/test_warp.py, end-metric check in tests/test_fast_frustum.py.
+    fast_frustum: bool = False
+    # Evaluate the 3D-stack convs lane-packed (ops/packed_conv.py): exactly
+    # the same arithmetic restructured so p horizontally-adjacent output
+    # pixels share the MXU's 128 output lanes — the decoder's 16-33-channel
+    # conv3ds otherwise run at 12-25% lane fill. Checkpoint-compatible
+    # (identical parameter tree); measured win recorded in ARCHITECTURE.md.
+    lane_pack: bool = False
 
     @property
     def depth_interval(self) -> float:
@@ -80,14 +103,18 @@ class DepthNetHybrid(nn.Module):
             depth_max=self.depth_max,
             est_transformer=self.est_transformer,
             sequential_fusion=self.sequential_fusion,
+            sequential_head_bn=self.sequential_cost_bn,
             use_pallas_attention=self.use_pallas_attention,
             pallas_interpret=self.pallas_interpret,
+            lane_pack=self.lane_pack,
+            fast_frustum=self.fast_frustum,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60)
-        self.pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, **kw)
-        self.pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", **kw)
-        self.pre2 = ConvBN(32, (3, 3, 3), 1, zero_bn_scale=True, **kw)
+        kw3 = dict(kw, lane_pack=self.lane_pack)
+        self.pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, **kw3)
+        self.pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", **kw3)
+        self.pre2 = ConvBN(32, (3, 3, 3), 1, zero_bn_scale=True, **kw3)
 
     def _cost_volumes(
         self,
@@ -136,6 +163,19 @@ class DepthNetHybrid(nn.Module):
         ).reshape(bp, d, h, w, c)
 
         x = jnp.concatenate([ref_vol, warped], axis=-1)  # 64ch
+        if self.sequential_cost_bn and train:
+            # reference loop order (t0,L),(t0,R),(t1,L),...: one pre-stack
+            # call per pair, each with its own BN batch stats (see the
+            # sequential_cost_bn field note)
+            ys = []
+            for ti in range(t):
+                for pi in range(2):
+                    rows = pi * b * t + jnp.arange(b) * t + ti
+                    yi = self.pre0(jnp.take(x, rows, axis=0), train)
+                    yi = yi + self.pre2(self.pre1(yi, train), train)
+                    ys.append(yi)
+            y = jnp.stack(ys, 0).reshape((t, 2, b) + ys[0].shape[1:])
+            return jnp.moveaxis(y.mean(axis=1), 0, 1)  # [B, T, D, H, W, C]
         x = self.pre0(x, train)
         x = x + self.pre2(self.pre1(x, train), train)
         # mean over the 2 neighbors (model_hybrid.py:97-99)
@@ -213,9 +253,21 @@ class DepthNetHybrid(nn.Module):
                 matching = matching[-1]
             matching = matching.reshape(b, v, h, w, -1)
 
+        # remat boundary tags: under make_train_step(remat_policy=
+        # "save_features"), the stride-4 encoder outputs are the ONLY saved
+        # residuals — the 3D stack (whose f32 conv-backward temps dominate
+        # train HBM, ARCHITECTURE.md) recomputes from here in the backward.
+        # checkpoint_name is a no-op outside jax.checkpoint.
+        from jax.ad_checkpoint import checkpoint_name
+
+        matching = checkpoint_name(matching, "encoder_features")
+
         semantic = self.semantic_feature(
             imgs[:, 1 : 1 + t].reshape(b * t, h_img, w_img, 3), train
         )  # list of 5 maps [B*T, ...]
+        semantic = [
+            checkpoint_name(s, "encoder_features") for s in semantic
+        ]
 
         cam_intr_s1 = scale_intrinsics(cam_intr, 0.25)
         depth_values = self.depth_candidates(b)

@@ -24,7 +24,9 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from estdepth_tpu.models.layers import _KERNEL_INIT, ConvBN, resize_bilinear
+from estdepth_tpu.models.layers import (
+    _KERNEL_INIT, ConvBN, TorchBatchNorm, resize_bilinear,
+)
 
 
 class SEModule(nn.Module):
@@ -71,7 +73,7 @@ class SEBottleneck(nn.Module):
             feature_group_count=self.groups, use_bias=False,
             kernel_init=_KERNEL_INIT, dtype=self.dtype, name="conv2",
         )(out)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)
@@ -110,7 +112,7 @@ class SEResNetBottleneck(nn.Module):
             feature_group_count=self.groups, use_bias=False,
             kernel_init=_KERNEL_INIT, dtype=self.dtype, name="conv2",
         )(out)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)
@@ -151,7 +153,7 @@ class SEResNeXtBottleneck(nn.Module):
             feature_group_count=self.groups, use_bias=False,
             kernel_init=_KERNEL_INIT, dtype=self.dtype, name="conv2",
         )(out)
-        out = nn.BatchNorm(
+        out = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name, dtype=self.dtype, name="bn2",
         )(out)

@@ -88,6 +88,78 @@ def set_volume_border(
     )
 
 
+def _frustum_warp_planemix(
+    volume: jnp.ndarray,     # [B, D, H, W, C]
+    t: jnp.ndarray,          # [B, 4, 4] target->source rigid transform
+    cam_intr: jnp.ndarray,   # [B, 3, 3]
+    depth_values: jnp.ndarray,  # [B, D]
+    depth_min: float,
+    depth_interval: float,
+    grid: jnp.ndarray,       # [3, H*W] homogeneous pixel grid
+    x: jnp.ndarray,          # [B, D*H*W] exact source-pixel x (plane-major)
+    y: jnp.ndarray,          # [B, D*H*W] exact source-pixel y
+    z: jnp.ndarray,          # [B, D*H*W] exact source depth
+) -> jnp.ndarray:
+    """Two-stage frustum resample: dense z-mix matmul + per-plane 2D gather.
+
+    Geometry: target depth plane d is the 3D plane {A_d p : p = (x_t,y_t,1)}
+    in the source frame, with A_d = dv_d * R K^-1 (+translation in the last
+    column). Its source depth at source pixel q is zs = 1 / (n_d . K^-1 q)
+    where A_d^T n_d = e3 — inverse-affine, no per-voxel gather needed. So:
+
+      stage A  M[b,d] = sum_z hat(zi_d(q) - z) * volume[b,z]   (MXU matmul)
+      stage B  out[b,d] = bilinear(M[b,d]; x_d, y_d)           (2D gather)
+
+    Deviation from the exact trilinear: the z-lerp index is evaluated at
+    the 2x2 bilinear corner pixels instead of the continuous sample point
+    (difference bounded by the plane's in-image depth slope per pixel,
+    sub-plane-spacing for real camera motion); the out-of-z-range hard
+    zeroing happens per corner for the same reason. The x/y sampling and
+    OOB zeroing are the exact per-voxel values.
+    """
+    b, d, h, w, c = volume.shape
+    f32 = jnp.float32
+
+    rot = t[:, :3, :3]
+    trans = t[:, :3, 3]
+    k_inv = jnp.linalg.inv(cam_intr)
+    m0 = jnp.einsum("bij,bjk->bik", rot, k_inv,
+                    precision=jax.lax.Precision.HIGHEST)  # [B,3,3]
+    # A_d = dv_d * m0, translation added to the homogeneous column
+    a = depth_values[:, :, None, None].astype(f32) * m0[:, None]  # [B,D,3,3]
+    a = a.at[:, :, :, 2].add(trans[:, None, :])
+    # n_d solves A_d^T n = e3  ->  source-depth field zs = 1/(n . K^-1 q)
+    e3 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (b, d, 3))
+    n = jnp.linalg.solve(jnp.swapaxes(a, -1, -2), e3[..., None])[..., 0]
+    rays = jnp.einsum("bij,jn->bin", k_inv, grid,
+                      precision=jax.lax.Precision.HIGHEST)  # [B,3,HW]
+    denom = jnp.einsum("bdi,bin->bdn", n, rays,
+                       precision=jax.lax.Precision.HIGHEST)  # [B,D,HW]
+    zs = 1.0 / denom
+    zi = (zs - depth_min) / depth_interval  # [B, D, HW] per SOURCE pixel
+    in_front = (denom > 1e-8) & jnp.isfinite(zi)
+    zi = jnp.where(in_front, zi, -2.0)
+
+    # hat weights over the Z source planes: 2 nonzero taps per row, hard
+    # zero outside [0, Z-1] (the reference's OOB rule, homo_utils.py:192)
+    valid_z = (zi >= 0.0) & (zi <= d - 1.0)
+    taps = jnp.arange(d, dtype=f32)
+    wz = jnp.maximum(0.0, 1.0 - jnp.abs(zi[..., None] - taps))
+    wz = jnp.where(valid_z[..., None], wz, 0.0)  # [B, D, HW, Z]
+
+    src = volume.reshape(b, d, h * w, c)  # z-major rows per source pixel
+    mixed = jnp.einsum(
+        "bdnz,bznc->bdnc", wz.astype(volume.dtype), src
+    )  # [B, D, HW, C]
+    mixed = mixed.reshape(b * d, h, w, c)
+
+    # stage B: exact per-voxel (x, y) — one 2D bilinear row gather each
+    x2 = x.reshape(b * d, h * w)
+    y2 = y.reshape(b * d, h * w)
+    out = bilinear_sample_stacked(mixed, x2, y2)
+    return out.reshape(b, d, h, w, c)
+
+
 def frustum_warp(
     volume: jnp.ndarray,
     rel_pose: jnp.ndarray,
@@ -97,6 +169,7 @@ def frustum_warp(
     depth_interval: float,
     padding_mode: str = "zeros",
     padding_value: float = 0.0,
+    mode: str = "exact",
 ) -> jnp.ndarray:
     """Resample a source-view frustum volume into the target-view frustum.
 
@@ -111,6 +184,21 @@ def frustum_warp(
       depth_values: [B, D] depth of each plane.
       depth_min / depth_interval: map depth -> fractional plane index
         (homo_utils.py:188).
+      mode: "exact" — one trilinear gather per target voxel (bit-faithful
+        to the reference's 5D grid_sample, homo_utils.py:276).
+        "plane_mix" — the measured-fast TPU reformulation: the per-voxel
+        3D gather is the profiled bottleneck of the whole window step
+        (~42 ns/row on v5e's gather engine, tools/profile_scan.py), so
+        exploit that each TARGET depth plane is a 3D plane: (a) its
+        source depth at a source pixel is inverse-affine in that pixel,
+        so the z-interpolation becomes a dense [D,Z]x[Z,C] matmul per
+        source pixel (MXU work); (b) the plane-to-image map is a
+        homography, so what remains is ONE 2D bilinear gather per output
+        pixel (the 3x-cheaper 4C-row kind). Exact along each plane
+        surface; the z-index is evaluated at the bilinear corner pixels
+        instead of the continuous sample point, a sub-plane-spacing
+        deviation bounded by the plane's in-image depth slope
+        (tests/test_warp.py pins the tolerance). zeros padding only.
 
     Returns:
       [B, D, H, W, C] target-frustum volume, trilinear; out-of-range
@@ -128,6 +216,13 @@ def frustum_warp(
     t = jnp.linalg.inv(rel_pose)
     pts = geometry.transform_points(t, pts)
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
+
+    if mode == "plane_mix":
+        assert padding_mode == "zeros", "plane_mix supports zeros padding"
+        return _frustum_warp_planemix(
+            volume, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y, z,
+        )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index
     if padding_mode == "border":

@@ -30,8 +30,21 @@ def create_mesh(
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch with leading batch axis sharded over `data`."""
+    """Place a host batch with leading batch axis sharded over `data`.
+
+    Single-process: the batch is the global batch; device_put scatters it.
+    Multi-process: the batch is this PROCESS'S shard (the loader is already
+    sharded by jax.process_index) — assemble the global array from the
+    process-local data. The global batch size is local_batch x
+    process_count."""
     sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -103,6 +103,7 @@ def make_train_step(
     loss_weight: float = 0.8,
     remat: bool = False,
     grad_accum: int = 1,
+    remat_policy: str = "nothing",
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jnp.ndarray],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Returns jitted (state, batch, clip_norm) -> (state, scalars).
@@ -114,6 +115,18 @@ def make_train_step(
     trades ~1.5x FLOPs for dropping all forward activations from HBM,
     enabling larger per-chip batches (the cost volumes dominate activation
     memory at ~250 MB per target window).
+
+    remat_policy (with remat=True):
+      "nothing"       — save no residuals; the whole forward recomputes
+                        (max memory saving, max recompute).
+      "save_features" — save the tagged stride-4 encoder outputs
+                        (models/estdepth.py checkpoint_name
+                        "encoder_features"): the encoders — ~40% of forward
+                        FLOPs — are NOT recomputed in the backward, while
+                        the 3D stack (whose f32 conv-backward temps with 4x
+                        lane padding dominate train HBM, ARCHITECTURE.md
+                        headroom #1) still rematerializes.
+      "dots"          — jax's dots_saveable: save matmul/conv outputs.
 
     grad_accum: split the per-device batch into this many microbatches and
     accumulate gradients over a lax.scan before the single optimizer
@@ -143,9 +156,14 @@ def make_train_step(
         return loss, (scalars, updates["batch_stats"])
 
     if remat:
-        loss_fn = jax.checkpoint(
-            loss_fn, policy=jax.checkpoint_policies.nothing_saveable
-        )
+        policies = {
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "save_features": jax.checkpoint_policies.save_only_these_names(
+                "encoder_features"
+            ),
+            "dots": jax.checkpoint_policies.dots_saveable,
+        }
+        loss_fn = jax.checkpoint(loss_fn, policy=policies[remat_policy])
 
     def step_fn(state: TrainState, batch, clip_norm):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -195,13 +195,20 @@ def install_torchvision_stub() -> None:
     transforms.Normalize = _Normalize
     transforms.Compose = _Compose
 
+    # torchvision.utils.make_grid: imported at module scope by the
+    # reference's utils/utils.py:2 (used only inside save_images, which the
+    # parity harness never calls) — an identity stand-in suffices.
+    tv_utils = types.ModuleType("torchvision.utils")
+    tv_utils.make_grid = lambda t, *a, **k: t
     tv = types.ModuleType("torchvision")
     tv.models = models
     tv.transforms = transforms
+    tv.utils = tv_utils
     tv.__version__ = "0.0-estdepth-stub"
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.utils"] = tv_utils
 
 
 def install_natsort_stub() -> None:
@@ -320,6 +327,9 @@ def import_reference(root: str = REFERENCE_ROOT):
     )
     ns.model_hybrid = importlib.import_module("hybrid_models.model_hybrid")
     ns.metric = importlib.import_module("metric")
+    # the ACTUAL training-infra module: WarmupMultiStepLR etc.
+    # (utils/utils.py:208-252), used by the training-trajectory oracle
+    ns.utils = importlib.import_module("utils.utils")
     return ns
 
 

@@ -31,19 +31,29 @@ def test_remat_matches_default():
     state0 = create_train_state(model, jax.random.key(0), local, tx)
 
     results = {}
-    for remat in (False, True):
+    modes = [
+        (False, "nothing"),
+        (True, "nothing"),
+        (True, "save_features"),  # granular policy: encoders saved
+    ]
+    for remat, policy in modes:
         # deep-copy: the step donates its state, which would delete the
         # shared arrays for the second mode
         state = replicate(jax.tree.map(jnp.array, state0), mesh)
         sharded = shard_batch(batch, mesh)
-        step = make_train_step(model, tx, mesh, 0.5, 8.0, remat=remat)
+        step = make_train_step(
+            model, tx, mesh, 0.5, 8.0, remat=remat, remat_policy=policy
+        )
         state, scalars = step(state, sharded, jnp.float32(10.0))
-        results[remat] = (
+        results[(remat, policy)] = (
             float(scalars["loss"]),
             float(scalars["grad_norm"]),
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
         )
 
-    np.testing.assert_allclose(results[False][0], results[True][0], rtol=1e-6)
-    np.testing.assert_allclose(results[False][1], results[True][1], rtol=1e-4)
-    np.testing.assert_allclose(results[False][2], results[True][2], atol=1e-6)
+    base = results[(False, "nothing")]
+    for mode in modes[1:]:
+        got = results[mode]
+        np.testing.assert_allclose(base[0], got[0], rtol=1e-6)
+        np.testing.assert_allclose(base[1], got[1], rtol=1e-4)
+        np.testing.assert_allclose(base[2], got[2], atol=1e-6)

@@ -82,3 +82,48 @@ def test_chunked_processor_matches_streaming():
     stream = np.stack(stream)
 
     np.testing.assert_allclose(chunked, stream, rtol=1e-3, atol=2e-3)
+
+
+def test_batched_scenes_match_independent_runs():
+    """process_scenes(B scenes of DIFFERENT lengths/content/intrinsics)
+    == B separate process_scene runs (batch axis never mixes; padded
+    windows dropped)."""
+    from estdepth_tpu.eval.sequence import SequenceProcessor
+
+    h, w, nd = 64, 96, 8
+    model = DepthNetHybrid(
+        ndepths=nd, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True,
+    )
+    cfgs = [
+        SyntheticSceneConfig(height=h, width=w, focal=80.0, seed=3,
+                             plane_offset=2.2, step_x=0.06),
+        SyntheticSceneConfig(height=h, width=w, focal=76.0, seed=9,
+                             plane_offset=3.0, step_x=0.1,
+                             yaw_per_frame=0.02),
+    ]
+    lengths = [9, 6]  # different lengths: exercises per-scene padding
+    scenes = []
+    for cfg, t in zip(cfgs, lengths):
+        frames = list(synthetic_stream(cfg, n_frames=t, depth_min=0.5,
+                                       depth_max=8.0))
+        scenes.append((
+            np.stack([f["img"] for f in frames]).astype(np.float32),
+            np.stack([f["cam_pose"] for f in frames]),
+            frames[0]["cam_intr"],
+        ))
+
+    variables = jax.jit(
+        lambda r, i, p, k: model.init(r, i, p, k, train=False)
+    )(jax.random.key(0), jnp.asarray(scenes[0][0][None, :3]),
+      jnp.asarray(scenes[0][1][None, :3]), jnp.asarray(scenes[0][2][None]))
+
+    proc = SequenceProcessor(model, variables, lwindow=3, memory_size=2,
+                             chunk=5)
+    batched = proc.process_scenes(scenes)
+    singles = [proc.process_scene(*s) for s in scenes]
+
+    assert len(batched) == 2
+    for got, want, t in zip(batched, singles, lengths):
+        assert got.shape == (t - 2, 4, h, w)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)

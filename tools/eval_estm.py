@@ -59,6 +59,14 @@ def parse_args():
                         "streaming, amortized dispatch")
     p.add_argument("--chunk", type=int, default=16,
                    help="frames per compiled chunk in --scan mode")
+    p.add_argument("--scene-batch", type=int, default=1,
+                   help="in --scan mode, evaluate this many independent "
+                        "scenes per batched program (throughput mode; "
+                        "outputs identical to scene-batch 1)")
+    p.add_argument("--fast-frustum", action="store_true",
+                   help="plane-mix EST memory warps (ops/warp.py): ~2x on "
+                        "the profiled hot op; sub-plane-spacing deviation "
+                        "from the exact trilinear (test_fast_frustum.py)")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"
@@ -78,6 +86,7 @@ def build_model_and_params(args):
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
         dtype=jnp.bfloat16 if args.bf16 else None,
+        fast_frustum=getattr(args, "fast_frustum", False),
     )
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -126,36 +135,55 @@ def score(pred: np.ndarray, gt: np.ndarray, mask: np.ndarray):
     return compute_errors(pred_up, gt)
 
 
-def run_scene_scan(proc, frames, args, outdir=None, scene=""):
-    """Whole-scene chunked-scan evaluation (same outputs as streaming)."""
+def run_scenes_scan(proc, named_scenes, args, outdir=None):
+    """Chunked-scan evaluation of 1..scene_batch scenes per batched program
+    (same outputs as streaming; see SequenceProcessor.process_scenes)."""
     from estdepth_tpu.utils.viz import colorize_depth, save_image
 
-    frames = list(frames)
-    if args.max_frames:
-        frames = frames[: args.max_frames + args.lwindow - 1]
-    if len(frames) < args.lwindow:
+    kept = []  # (name, frames) with enough frames
+    for scene, frames in named_scenes:
+        frames = list(frames)
+        if args.max_frames:
+            frames = frames[: args.max_frames + args.lwindow - 1]
+        if len(frames) >= args.lwindow:
+            kept.append((scene, frames))
+    if not kept:
         return [], []
-    imgs = np.stack([f["img"] for f in frames]).astype(np.float32)
-    poses = np.stack([f["cam_pose"] for f in frames]).astype(np.float32)
+
     t0 = time.perf_counter()
-    depths = proc.process_scene(imgs, poses, frames[0]["cam_intr"])
+    results = proc.process_scenes(
+        [
+            (
+                np.stack([f["img"] for f in frames]).astype(np.float32),
+                np.stack([f["cam_pose"] for f in frames]).astype(np.float32),
+                frames[0]["cam_intr"],
+            )
+            for _, frames in kept
+        ]
+    )
     dt = time.perf_counter() - t0
-    times = [dt / len(depths)] * len(depths)
+    n_total = sum(len(d) for d in results)
+    times = [dt / n_total] * n_total
 
     errs = []
-    for wi, d in enumerate(depths):
-        # the emitted depth belongs to the window's CENTER frame
-        # (eval_hybrid_seq.py:202 saves under img_paths[lwindow // 2])
-        f = frames[wi + args.lwindow // 2]
-        refined, init = d[0], d[1]  # output_scales=(0, 2)
-        if f.get("dmap") is not None:
-            errs.append(score(refined, f["dmap"], f["dmask"]))
-        if outdir and args.save_maps:
-            base = os.path.join(outdir, f"{scene}_{wi + args.lwindow // 2:06d}")
-            np.save(base + "_depth.npy", refined.astype(np.float16))
-            np.save(base + "_init.npy", init.astype(np.float16))
-            save_image(base + "_depth.jpg",
-                       colorize_depth(refined, args.depth_min, args.depth_max))
+    for (scene, frames), depths in zip(kept, results):
+        for wi, d in enumerate(depths):
+            # the emitted depth belongs to the window's CENTER frame
+            # (eval_hybrid_seq.py:202 saves under img_paths[lwindow // 2])
+            f = frames[wi + args.lwindow // 2]
+            refined, init = d[0], d[1]  # output_scales=(0, 2)
+            if f.get("dmap") is not None:
+                errs.append(score(refined, f["dmap"], f["dmask"]))
+            if outdir and args.save_maps:
+                base = os.path.join(
+                    outdir, f"{scene}_{wi + args.lwindow // 2:06d}"
+                )
+                np.save(base + "_depth.npy", refined.astype(np.float16))
+                np.save(base + "_init.npy", init.astype(np.float16))
+                save_image(
+                    base + "_depth.jpg",
+                    colorize_depth(refined, args.depth_min, args.depth_max),
+                )
     return times, errs
 
 
@@ -279,9 +307,16 @@ def main():
             output_scales=(0, 2),
         )
 
+    scan_group = []  # scenes queued for one batched --scene-batch program
+
     def process(frames, outdir, scene):
         if args.scan:
-            return run_scene_scan(proc, frames, args, outdir, scene)
+            scan_group.append((scene, list(frames)))
+            if len(scan_group) < args.scene_batch:
+                return [], []
+            group = list(scan_group)
+            scan_group.clear()
+            return run_scenes_scan(proc, group, args, outdir)
         return run_scene(runner, frames, args, outdir, scene)
 
     if args.outdir:
@@ -335,6 +370,10 @@ def main():
             all_errs += errs
             print(f"{name}: {len(times)} frames")
 
+    if scan_group:  # flush a partial final scene batch
+        times, errs = run_scenes_scan(proc, scan_group, args, args.outdir)
+        all_times += times
+        all_errs += errs
     if all_times:
         # skip the first few (compile) when reporting, like steady-state fps
         steady = all_times[4:] or all_times

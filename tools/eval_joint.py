@@ -53,6 +53,8 @@ def parse_args():
     p.add_argument("--max-windows", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
+    p.add_argument("--fast-frustum", action="store_true",
+                   help="plane-mix EST memory warps (see eval_estm.py)")
     p.add_argument("--save-probs", action="store_true",
                    help="also dump per-target init/refined probability maps "
                         "(eval_hybrid.py:59-62 save_init_prob/"
@@ -64,7 +66,9 @@ class JointRunner:
     """Chains windows of one scene, threading last-target state as a
     1-entry memory (eval_hybrid.py:229-243)."""
 
-    def __init__(self, model, variables, est_on: bool):
+    def __init__(self, model, variables, est_on: bool,
+                 return_probs: bool = False,
+                 reference_pose_pairing: bool = False):
         import jax
 
         from estdepth_tpu.models import ESTMemory
@@ -72,6 +76,7 @@ class JointRunner:
         self.model = model
         self.variables = variables
         self.est_on = est_on
+        self.return_probs = return_probs
         self._mem_template = None
 
         def step(variables, imgs, poses, intr, memory, use_est):
@@ -82,11 +87,24 @@ class JointRunner:
                 memory=memory if use_est else None,
                 use_est=use_est, train=False,
             )
+            if reference_pose_pairing and use_est:
+                # strict parity with the reference's bookkeeping: its
+                # decoder extends cam_poses with pre_cam_poses BEFORE
+                # returning cam_poses[-1:] (hybrid_depth_decoder.py:221,292),
+                # so with a threaded 1-entry memory the stored pose is the
+                # PREVIOUS window's stored pose — by induction, window 0's
+                # last-target pose forever (ARCHITECTURE.md deviation #1).
+                pose = memory.poses[:, -1]
             new_memory = ESTMemory(
                 keys=key[:, None], values=value[:, None],
                 poses=pose[:, None],
                 valid=jnp.ones((key.shape[0], 1), jnp.bool_),
             )
+            if not return_probs:
+                # the default no-probs eval step carries no [B,T,2,H,W]
+                # output buffers (probs exist only under --save-probs,
+                # like the reference's off-by-default save_*_prob flags)
+                return outputs["depth"], None, new_memory
             # probs: [B, T, 2, H, W] — (init_prob, fused_prob) per target
             # (eval_hybrid.py:154-188 save_init_prob/save_refined_prob)
             probs = jnp.stack(
@@ -118,7 +136,7 @@ class JointRunner:
         depth, probs, self.memory = self._step(
             self.variables, imgs, poses, intr, self.memory, use_est=use_est
         )
-        return depth, probs  # [B, T, 4, H, W], [B, T, 2, H, W]
+        return depth, probs  # [B, T, 4, H, W], [B, T, 2, H, W] | None
 
 
 def main():
@@ -132,7 +150,8 @@ def main():
     ns = argparse.Namespace(**vars(args))
     ns.lwindow = args.seq_length
     model, variables = build_model_and_params(ns)
-    runner = JointRunner(model, variables, est_on=not args.no_est)
+    runner = JointRunner(model, variables, est_on=not args.no_est,
+                         return_probs=args.save_probs)
     if args.outdir:
         os.makedirs(args.outdir, exist_ok=True)
 

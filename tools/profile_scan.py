@@ -1,0 +1,364 @@
+#!/usr/bin/env python
+"""Scan-amortized DEVICE-time decomposition of the flagship window step.
+
+tools/profile_step.py times components one launch at a time, so every number
+carries this environment's ~30 ms dispatch+fetch RPC floor — fine for
+ranking, useless for absolute attribution. This tool instead runs each
+component N times inside ONE compiled `lax.scan` program over N DISTINCT
+on-device inputs and fetches a scalar reduction once: the launch floor
+amortizes to ~floor/N and what remains is honest per-iteration device time.
+
+Anti-elision hygiene (CLAUDE.md): inputs are freshly generated device
+buffers per repetition (the relay elides repeated identical launches), and
+the timed region ends with a device->host fetch of the carry (the only
+thing that forces execution through this relay). A `control` program with a
+trivial body measures the residual launch+fetch floor, which is subtracted.
+
+Usage: python tools/profile_scan.py [--n 10] [--reps 2] [--only a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from estdepth_tpu.utils.platform import (  # noqa: E402
+    apply_platform_env, enable_compilation_cache,
+)
+
+apply_platform_env()
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10,
+                    help="scan iterations per program")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="timed repetitions (plus one untimed compile rep)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated component names")
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--ndepths", type=int, default=64)
+    args = ap.parse_args()
+
+    from flax import linen as nn
+
+    from estdepth_tpu.models.decoder import ConvBNRelu3D, StereoHead
+    from estdepth_tpu.models.layers import ConvBN
+    from estdepth_tpu.models.psm import PSMFeatureNet
+    from estdepth_tpu.models.resnet import ResNetEncoder
+    from estdepth_tpu.ops.packed_conv import lane_packed_conv3d
+    from estdepth_tpu.ops.sampling import trilinear_sample_stacked
+    from estdepth_tpu.ops.warp import frustum_warp, plane_sweep_warp
+
+    h, w, nd = args.height, args.width, args.ndepths
+    hq, wq = h // 4, w // 4
+    dt = jnp.bfloat16
+    n = args.n
+    only = set(args.only.split(",")) if args.only else None
+    results = {}
+
+    def measure(name, shapes, fn, dtypes=None):
+        """Time fn(*xs) executed n times inside one lax.scan program.
+
+        shapes: per-argument shapes WITHOUT the leading scan axis; the i-th
+        scan iteration sees an independent random tensor per argument.
+        """
+        if only is not None and name != "control" and name not in only:
+            return
+        dts = dtypes or [dt] * len(shapes)
+
+        @jax.jit
+        def gen(key):
+            keys = jax.random.split(key, len(shapes))
+            return tuple(
+                (
+                    jax.random.normal(k, (n,) + s, jnp.float32) * 0.5
+                ).astype(d)
+                for k, s, d in zip(keys, shapes, dts)
+            )
+
+        @jax.jit
+        def prog(xs):
+            def body(c, x):
+                out = fn(*x)
+                red = sum(
+                    jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                    for l in jax.tree_util.tree_leaves(out)
+                )
+                return c + red, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), xs)
+            return c
+
+        times = []
+        for rep in range(args.reps + 1):
+            xs = gen(jax.random.key(100 * rep + hash(name) % 97))
+            jax.block_until_ready(xs)
+            t0 = time.perf_counter()
+            float(prog(xs))  # fetch forces execution
+            dt_s = time.perf_counter() - t0
+            if rep > 0:  # rep 0 pays compilation
+                times.append(dt_s)
+        total = min(times)
+        floor = results.get("control", (0.0, 0.0))[1] * 1e-3
+        per = (total - floor) / n * 1e3
+        results[name] = (per, total * 1e3)
+        print(f"{name:26s} {per:9.2f} ms/iter   (launch {total*1e3:8.1f} ms)",
+              flush=True)
+
+    # ---- launch+fetch floor ------------------------------------------------
+    measure("control", [(8, 128)], lambda x: x * 1.0001,
+            dtypes=[jnp.float32])
+    if "control" in results:
+        # control's per-iter is ~0; its launch time IS the floor
+        results["control"] = (0.0, results["control"][1])
+        print(f"{'(floor subtracted below)':26s} {results['control'][1]:9.1f} ms")
+
+    rng = np.random.default_rng(0)
+
+    def init_mod(mod, *shapes, method=None):
+        xs = [jnp.asarray(rng.normal(size=s).astype(np.float32)).astype(dt)
+              for s in shapes]
+        kw = {"method": method} if method else {}
+        v = jax.jit(
+            lambda k: mod.init(k, *xs, **kw), static_argnums=()
+        )(jax.random.key(0))
+        return v
+
+    # ---- 2D encoders -------------------------------------------------------
+    psm = PSMFeatureNet(dtype=dt)
+    psm_v = init_mod(psm, (1, h, w, 3))
+    measure("psm_1frame", [(1, h, w, 3)],
+            lambda x: psm.apply(psm_v, x, False))
+
+    res = ResNetEncoder(50, dtype=dt)
+    res_v = init_mod(res, (1, h, w, 3))
+    measure("resnet50_1frame", [(1, h, w, 3)],
+            lambda x: res.apply(res_v, x))
+
+    # ---- cost-volume pre stack (pair-folded batch: 2 neighbors x 1 target)
+    pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, dtype=dt)
+    pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", dtype=dt)
+    pre2 = ConvBN(32, (3, 3, 3), 1, dtype=dt)
+    pv0 = init_mod(pre0, (2, nd, hq, wq, 64))
+    pv1 = init_mod(pre1, (2, nd, hq, wq, 32))
+    pv2 = init_mod(pre2, (2, nd, hq, wq, 32))
+
+    def prestack(x):
+        y = pre0.apply(pv0, x, False)
+        return y + pre2.apply(pv2, pre1.apply(pv1, y, False), False)
+
+    measure("prestack_2x", [(2, nd, hq, wq, 64)], prestack)
+
+    # ---- dres chain + dres2 + key/value + stereo heads ---------------------
+    c32 = ConvBNRelu3D(32, dtype=dt)
+    c32v = init_mod(c32, (1, nd, hq, wq, 32))
+
+    def dres_chain(x):
+        for _ in range(4):  # dres0_0/0_1/1_0/1_1 (identical shape)
+            x = c32.apply(c32v, x, False)
+        return x
+
+    measure("dres_chain_x4", [(1, nd, hq, wq, 32)], dres_chain)
+
+    c33 = ConvBNRelu3D(33, dtype=dt)
+    c33v = init_mod(c33, (1, nd, hq, wq, 33))
+    kv16 = ConvBNRelu3D(16, dtype=dt)
+    kv16v = init_mod(kv16, (1, nd, hq, wq, 33))
+    head = StereoHead(16, dtype=dt)
+    headv = init_mod(head, (1, nd, hq, wq, 16))
+
+    def tail3d(x):
+        x = c33.apply(c33v, x, False)                    # dres2
+        key = kv16.apply(kv16v, x, False)
+        val = kv16.apply(kv16v, x, False)                # value_layer
+        return head.apply(headv, val, False), key
+
+    measure("dres2_kv_head0", [(1, nd, hq, wq, 33)], tail3d)
+
+    # ---- EST fusion pieces -------------------------------------------------
+    intr_q = jnp.asarray(
+        [[72.2, 0.0, (wq - 1) / 2], [0.0, 72.2, (hq - 1) / 2],
+         [0.0, 0.0, 1.0]], jnp.float32)
+    dvals = (jnp.arange(nd, dtype=jnp.float32) * (10.0 / (nd - 1)) + 0.01)
+
+    def frustum2(v, e):
+        rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (2, 1, 1)),
+            jnp.tile(dvals[None], (2, 1)), 0.01, 10.0 / (nd - 1),
+        )
+
+    measure("frustum_warp_x2", [(2, nd, hq, wq, 32), (2,)], frustum2,
+            dtypes=[dt, jnp.float32])
+
+    def frustum2_planemix(v, e):
+        rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (2, 1, 1)),
+            jnp.tile(dvals[None], (2, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix",
+        )
+
+    measure("frustum_planemix_x2", [(2, nd, hq, wq, 32), (2,)],
+            frustum2_planemix, dtypes=[dt, jnp.float32])
+
+    # gather formulated WITHOUT operand_batching_dims (batch folded into
+    # global row indices) — isolates whether the batched-gather lowering
+    # is the slow part
+    def sample_flat(v, coords):
+        from estdepth_tpu.ops.sampling import _shift1
+        b2, d2, h2, w2, c2 = v.shape
+        sx = _shift1(v, 3)
+        vy = [v, sx, _shift1(v, 2), _shift1(sx, 2)]
+        stacked = jnp.concatenate(
+            vy + [_shift1(q, 1) for q in vy], axis=-1
+        ).reshape(b2 * d2 * h2 * w2, 8 * c2)
+        x = jnp.clip((coords[..., 0] * 0.5 + 0.5) * (w2 - 1), 0, w2 - 2)
+        y = jnp.clip((coords[..., 1] * 0.5 + 0.5) * (h2 - 1), 0, h2 - 2)
+        z = jnp.clip((coords[..., 2] * 0.5 + 0.5) * (d2 - 1), 0, d2 - 2)
+        bi = jnp.arange(b2, dtype=jnp.int32)[:, None]
+        rows = (
+            ((bi * d2 + z.astype(jnp.int32)) * h2 + y.astype(jnp.int32))
+            * w2 + x.astype(jnp.int32)
+        ).reshape(-1)
+        return jnp.take(stacked, rows, axis=0, mode="clip")  # [B*N, 8C]
+
+    measure("sampler_flat_x2", [(2, nd, hq, wq, 32), (2, nd * hq * wq, 3)],
+            sample_flat, dtypes=[dt, jnp.float32])
+
+    # stacked-build alone (the 8C corner concat the sampler constructs)
+    def stackbuild(v):
+        from estdepth_tpu.ops.sampling import _shift1
+        sx = _shift1(v, 3)
+        vy = [v, sx, _shift1(v, 2), _shift1(sx, 2)]
+        return jnp.concatenate(vy + [_shift1(q, 1) for q in vy], axis=-1)
+
+    measure("stackbuild_x2", [(2, nd, hq, wq, 32)], stackbuild)
+
+    # gather at fixed random coords (index math + gather, no warp algebra)
+    def sample_only(v, coords):
+        x = (coords[..., 0] * 0.5 + 0.5) * (wq - 1)
+        y = (coords[..., 1] * 0.5 + 0.5) * (hq - 1)
+        z = (coords[..., 2] * 0.5 + 0.5) * (nd - 1)
+        return trilinear_sample_stacked(v, x, y, z)
+
+    measure("sampler_x2", [(2, nd, hq, wq, 32), (2, nd * hq * wq, 3)],
+            sample_only, dtypes=[dt, jnp.float32])
+
+    # attention math (2 neighbors, streaming shape)
+    def attn(tk, wk, wv):
+        corr = jnp.sum(tk[None] * wk, axis=-1)
+        a = jax.nn.softmax(corr.astype(jnp.float32), axis=0)
+        return jnp.sum(wv * a[..., None].astype(wv.dtype), axis=0) / 2.0
+
+    measure("est_attention", [(1, nd, hq, wq, 16), (2, 1, nd, hq, wq, 16),
+                              (2, 1, nd, hq, wq, 16)], attn)
+
+    # ConvGRU + stereo_head1
+    gate = nn.Conv(32, (3, 3, 3), padding=[(1, 1)] * 3, dtype=dt)
+    gv = init_mod(gate, (1, nd, hq, wq, 32))
+    outc = nn.Conv(16, (3, 3, 3), padding=[(1, 1)] * 3, dtype=dt)
+    ov = init_mod(outc, (1, nd, hq, wq, 32))
+
+    def gru_head1(x, hh):
+        xh = jnp.concatenate([x, hh], axis=-1)
+        g = gate.apply(gv, xh)
+        r, u = jax.nn.sigmoid(g[..., :16]), jax.nn.sigmoid(g[..., 16:])
+        o = outc.apply(ov, jnp.concatenate([x, r * hh], axis=-1))
+        y = jnp.tanh(o)
+        fused = u * hh + (1 - u) * y
+        return head.apply(headv, fused, False)
+
+    measure("gru_head1", [(1, nd, hq, wq, 16), (1, nd, hq, wq, 16)],
+            gru_head1)
+
+    # ---- plane-sweep side --------------------------------------------------
+    def psweep(f, e):
+        proj = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return plane_sweep_warp(
+            f, proj, jnp.tile(jnp.eye(4)[None], (2, 1, 1)),
+            jnp.tile(dvals[None], (2, 1)),
+        )
+
+    measure("plane_sweep_x2", [(2, hq, wq, 32), (2,)], psweep,
+            dtypes=[dt, jnp.float32])
+
+    # ---- softargmin + 2D refinement ---------------------------------------
+    def softarg(logits):
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+        return jnp.einsum("ndhw,d->nhw", p, dvals), jnp.max(p, axis=1)
+
+    measure("softargmin_x2", [(2, nd, hq, wq)], softarg,
+            dtypes=[jnp.float32])
+
+    up10 = ConvBN(32, 3, 1, act="relu", dtype=dt)
+    u10v = init_mod(up10, (1, hq, wq, 128))
+    up11 = ConvBN(32, 3, 1, act="relu", dtype=dt)
+    u11v = init_mod(up11, (1, h // 2, w // 2, 96))
+    up00 = ConvBN(16, 3, 1, act="relu", dtype=dt)
+    u00v = init_mod(up00, (1, h // 2, w // 2, 32))
+    up01 = ConvBN(16, 3, 1, act="relu", dtype=dt)
+    u01v = init_mod(up01, (1, h, w, 16))
+    disp = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=dt)
+    dv1 = init_mod(disp, (1, h // 2, w // 2, 32))
+
+    def refine(sem_logits, skip0):
+        from estdepth_tpu.models.layers import upsample_nearest
+        x = up10.apply(u10v, sem_logits, False)
+        x = jnp.concatenate([upsample_nearest(x), skip0], axis=-1)
+        x = up11.apply(u11v, x, False)
+        d1 = jax.nn.sigmoid(disp.apply(dv1, x).astype(jnp.float32))
+        x = up00.apply(u00v, x, False)
+        x = upsample_nearest(x)
+        x = up01.apply(u01v, x, False)
+        return d1, x
+
+    measure("refine_2d", [(1, hq, wq, 128), (1, h // 2, w // 2, 64)], refine)
+
+    # ---- lane-packed conv experiments -------------------------------------
+    k32 = jnp.asarray(rng.normal(size=(3, 3, 3, 32, 32)).astype(np.float32)
+                      ).astype(dt) * 0.1
+    measure("conv32_plain", [(1, nd, hq, wq, 32)],
+            lambda x: lane_packed_conv3d(x, k32, 1))
+    measure("conv32_packed4", [(1, nd, hq, wq, 32)],
+            lambda x: lane_packed_conv3d(x, k32, 4))
+    k16 = jnp.asarray(rng.normal(size=(3, 3, 3, 33, 16)).astype(np.float32)
+                      ).astype(dt) * 0.1
+    measure("conv33to16_plain", [(1, nd, hq, wq, 33)],
+            lambda x: lane_packed_conv3d(x, k16, 1))
+    measure("conv33to16_packed8", [(1, nd, hq, wq, 33)],
+            lambda x: lane_packed_conv3d(x, k16, 8))
+
+    print("\nsummary (ms/iter, floor-subtracted):")
+    total = 0.0
+    parts = [
+        "psm_1frame", "resnet50_1frame", "prestack_2x", "dres_chain_x4",
+        "dres2_kv_head0", "frustum_warp_x2", "est_attention", "gru_head1",
+        "plane_sweep_x2", "softargmin_x2", "refine_2d",
+    ]
+    for k in parts:
+        if k in results:
+            total += results[k][0]
+            print(f"  {k:24s} {results[k][0]:8.2f}")
+    print(f"  {'SUM OF PARTS':24s} {total:8.2f}   "
+          "(vs bench scan mode ~83.6 ms/window in r02)")
+
+
+if __name__ == "__main__":
+    main()

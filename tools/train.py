@@ -81,6 +81,11 @@ def parse_args():
                         "(train_hybrid.py:167)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward during backward (larger batches)")
+    p.add_argument("--remat-policy", default="nothing",
+                   choices=["nothing", "save_features", "dots"],
+                   help="with --remat: which residuals to keep "
+                        "(save_features pins the stride-4 encoder outputs "
+                        "so only the 3D stack recomputes)")
     p.add_argument("--grad-accum", type=int, default=1,
                    help="accumulate gradients over this many microbatches "
                         "per step (effective batch = batch-per-device x "
@@ -91,6 +96,11 @@ def parse_args():
                         "larger-memory parts (ARCHITECTURE.md)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="with --multihost: coordinator address for manual "
+                        "clusters (auto-detected on TPU pods when omitted)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
@@ -130,7 +140,11 @@ def main():
     import jax.numpy as jnp
 
     if args.multihost:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -148,7 +162,11 @@ def main():
     n_dev = len(jax.devices())
     mesh = create_mesh()
     global_batch = args.batch_per_device * n_dev
-    print(f"devices={n_dev} global_batch={global_batch}")
+    # each process loads ONLY the samples for its own chips; shard_batch
+    # assembles the global array from process-local data
+    local_batch = args.batch_per_device * jax.local_device_count()
+    print(f"devices={n_dev} global_batch={global_batch} "
+          f"local_batch={local_batch} processes={jax.process_count()}")
 
     if args.synthetic:
         dataset = SyntheticTrainDataset(
@@ -165,7 +183,7 @@ def main():
             depth_max=args.depth_max,
         )
     loader = TrainLoader(
-        dataset, global_batch,
+        dataset, local_batch,
         shard_index=jax.process_index(), num_shards=jax.process_count(),
         num_workers=args.num_workers, seed=args.seed,
     )
@@ -249,7 +267,7 @@ def main():
         raise SystemExit("--batch-per-device must be divisible by --grad-accum")
     step_fn = make_train_step(
         model, tx, mesh, args.depth_min, args.depth_max, remat=args.remat,
-        grad_accum=args.grad_accum,
+        grad_accum=args.grad_accum, remat_policy=args.remat_policy,
     )
     logger = ScalarLogger(args.logdir) if jax.process_index() == 0 else None
     meter = DictAverageMeter()
@@ -310,18 +328,31 @@ def main():
                 )
             if (step % args.image_freq == 0 and jax.process_index() == 0):
                 dump_images(step, batch)
-            if step % args.ckpt_steps == 0 and jax.process_index() == 0:
+            if step % args.ckpt_steps == 0:
+                # EVERY process calls save: orbax coordinates multi-host
+                # persistence internally (sync_global_devices barriers) —
+                # a rank-0-only call deadlocks the other ranks' barriers
+                # (caught by tests/test_multihost.py). The reference's
+                # rank-0 torch.save gate (train_hybrid.py:188) maps to
+                # orbax's primary-host write, not to gating the call.
                 ckpt.save(step, jax.device_get(state))
             if args.steps and total_steps >= args.steps:
                 break
-        if jax.process_index() == 0:
-            ckpt.save(int(state.step), jax.device_get(state))
+        ckpt.save(int(state.step), jax.device_get(state))
         if args.steps and total_steps >= args.steps:
             break
 
     if logger:
         logger.close()
     ckpt.close()
+    if jax.process_count() > 1:
+        # rank 0's final checkpoint save/close runs long after the other
+        # ranks finish their last step; without an explicit barrier they
+        # reach jax.distributed's atexit shutdown barrier early and time
+        # out (observed in tests/test_multihost.py's 2-process smoke)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("train_end")
     print("training done")
 
 
