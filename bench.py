@@ -348,6 +348,33 @@ def main():
     except Exception as e:
         extras["scan_planemix_error"] = f"{type(e).__name__}: {e}"[:120]
 
+    # ---- Pallas lane-gather warp variant (pallas_warp=True) ---------------
+    # Both hot warps (EST frustum + cost-volume plane-sweep) leave the
+    # gather engine entirely: z-mix and the two-pass homography resample
+    # run as same-shape vreg lane gathers on the VPU
+    # (ops/pallas/plane_warp.py; tolerances in tests/test_pallas_warp.py).
+    try:
+        proc_pl = make_sequence_processor(
+            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        _fetch_with_timeout(
+            proc_pl(variables, ca_imgs, ca_poses, intr0),
+            seconds=240.0, label="scan-pallas-warmup",
+        )
+        n_windows = SCAN_FRAMES - 3 + 1
+        t0 = time.perf_counter()
+        depths_p = proc_pl(variables, cb_imgs, cb_poses, intr0)
+        _fetch_with_timeout(depths_p, seconds=240.0, label="scan-pallas")
+        dtp = time.perf_counter() - t0
+        pallas_scan_fps = n_windows / dtp
+        extras["scan_pallas_fps"] = round(pallas_scan_fps, 3)
+        if "window_gflops" in extras:
+            pflops = extras["window_gflops"] * 1e9 * pallas_scan_fps
+            extras["mfu_scan_pallas"] = round(pflops / V5E_BF16_PEAK_FLOPS, 5)
+    except Exception as e:
+        extras["scan_pallas_error"] = f"{type(e).__name__}: {e}"[:120]
+
     # ---- fused Pallas EST attention variant ------------------------------
     if os.environ.get("ESTDEPTH_BENCH_PALLAS", "1") != "0":
         try:

@@ -144,6 +144,13 @@ class DepthHybridDecoder(nn.Module):
     # measured-fast z-mix-matmul + 2D-gather reformulation (ops/warp.py);
     # sub-plane-spacing deviation from the exact trilinear, so default off
     fast_frustum: bool = False
+    pallas_warp: bool = False
+
+    @property
+    def _frustum_mode(self) -> str:
+        if self.pallas_warp:
+            return "plane_mix_pallas"
+        return "plane_mix" if self.fast_frustum else "exact"
 
     def setup(self):
         # num_ch_dec = [16, 32, ndepths, 128, 256] (decoder :52)
@@ -264,7 +271,7 @@ class DepthHybridDecoder(nn.Module):
         warped = frustum_warp(
             fold(kv), fold(rel), fold(k_rep), fold(dv_rep),
             depth_min, depth_interval,
-            mode="plane_mix" if self.fast_frustum else "exact",
+            mode=self._frustum_mode,
         )
         warped = warped.reshape(b, num, nn_per_target, d, h, w, 2 * c)
         # neighbor-leading, targets folded into batch: [Nn, B*num, D, H, W, C]
@@ -347,7 +354,7 @@ class DepthHybridDecoder(nn.Module):
                 jnp.tile(cam_intr[:, None], (1, nn, 1, 1)).reshape(b * nn, 3, 3),
                 jnp.tile(depth_values[:, None], (1, nn, 1)).reshape(b * nn, -1),
                 depth_min, depth_interval,
-                mode="plane_mix" if self.fast_frustum else "exact",
+                mode=self._frustum_mode,
             ).reshape(b, nn, d, h, w, 2 * c)
             warped = jnp.moveaxis(warped, 1, 0)  # [NN, B, D, H, W, 2C]
             valid_i = jnp.stack([all_valid[:, j] for j in nb_idx], 0)  # [NN,B]

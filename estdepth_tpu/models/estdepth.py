@@ -66,6 +66,14 @@ class DepthNetHybrid(nn.Module):
     # Default off (exact reference semantics); accuracy pinned in
     # tests/test_warp.py, end-metric check in tests/test_fast_frustum.py.
     fast_frustum: bool = False
+    # Route BOTH hot warps (EST memory frustum + cost-volume plane-sweep)
+    # through the Pallas lane-gather kernels (ops/pallas/plane_warp.py):
+    # the gather engine leaves the critical path entirely — z-mix and the
+    # two-pass homography resample run as same-shape vreg lane gathers on
+    # the VPU. Implies the plane-mix z semantics plus a sub-pixel two-pass
+    # x deviation (tests/test_pallas_warp.py pins tolerances). EVAL-ONLY:
+    # the kernels define no VJP — the trainer never enables this.
+    pallas_warp: bool = False
     # Evaluate the 3D-stack convs lane-packed (ops/packed_conv.py): exactly
     # the same arithmetic restructured so p horizontally-adjacent output
     # pixels share the MXU's 128 output lanes — the decoder's 16-33-channel
@@ -108,6 +116,7 @@ class DepthNetHybrid(nn.Module):
             pallas_interpret=self.pallas_interpret,
             lane_pack=self.lane_pack,
             fast_frustum=self.fast_frustum,
+            pallas_warp=self.pallas_warp,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60)
@@ -156,7 +165,10 @@ class DepthNetHybrid(nn.Module):
             bp, d
         )
 
-        warped = plane_sweep_warp(src_feats, src_proj, ref_proj2, dv2)
+        warped = plane_sweep_warp(
+            src_feats, src_proj, ref_proj2, dv2,
+            backend="pallas" if self.pallas_warp else "xla",
+        )
         # ref volume expanded over planes (model_hybrid.py:76)
         ref_vol = jnp.broadcast_to(
             ref_feats[None, :, :, None], (2, b, t, d, h, w, c)

@@ -1,0 +1,337 @@
+"""Pallas lane-gather warps: the gather engine off the critical path.
+
+The eval window step is dominated by warp gathers (tools/profile_scan.py):
+every warped voxel costs one gather-engine row (~13-42 ns) and all the conv
+compute combined is smaller than the two frustum warps. Mosaic on v5e cannot
+vectorize an arbitrary cross-row gather — but it CAN vectorize a same-shape
+2D lane gather (`tpu.dynamic_gather` of src[s, idx[s, l]] with idx.shape ==
+src.shape and the gathered axis within one 128-lane vreg), and that form
+runs at VPU speed: measured 14.6x faster than XLA's take_along_axis at
+[8192, 128] and ~0.4 ms for an entire 64-plane warp pass
+(tools/experiments/pallas_lane_gather.py).
+
+Both hot warps factor EXACTLY into chains of such gathers at this model's
+shapes, because every per-axis resample direction fits in one vreg
+(Z = D = ndepths <= 128, H/4 <= 128, W/4 <= 128):
+
+  frustum_warp (reference warp_volume, homo_utils.py:240-279):
+    K1 z-mix   per channel: out[n, d] = lerp_z(V[c][n, :], zi[n, d])
+               — the plane-mix stage-A z interpolation as a lane gather
+               over the Z axis (idx [HW, D] == src [HW, Z] since D == Z)
+    K2 pass-1  per plane: horizontal resample of each source row at the
+               row-crossing positions x = a_u h + b_u of each target
+               column's source line (a homography maps the target column
+               u to a source LINE, so x is affine in the source row)
+    K3 pass-2  per plane: vertical resample of each column at the exact
+               per-voxel source y, with hard OOB zeroing at the exact
+               (x*, y*) (idx [W, Hout] == src [W, H] since Hout == H)
+
+  plane_sweep_warp (reference homo_warping, homo_utils.py:458-504):
+    K2 + K3 only, with all D homographies reading ONE shared feature map.
+
+Accuracy: K1 is bit-identical in formulation to frustum_warp's
+mode="plane_mix" stage A (z evaluated per source pixel — the documented
+sub-plane-spacing deviation from exact trilinear, tests/test_fast_frustum).
+K2/K3 is the classic two-pass decomposition (Catmull-Smith '80): the
+horizontal lerp is evaluated where the column's source line crosses integer
+source rows instead of at the exact sample point — a deviation bounded by
+|a_u| (the line's pixels-per-row slope), sub-pixel whenever the warp keeps
+target columns within 45 degrees of vertical, which every realistic camera
+motion here does. Planes whose target columns map to near-HORIZONTAL source
+lines (|den| ~ 0 below) cannot be two-passed in this direction; their ab
+coefficients degrade gracefully (clamped pass-1, exact-coordinate masking
+still zeroes OOB) but in-bounds values are wrong — tests pin the realistic-
+motion tolerance, and the flag stays opt-in like fast_frustum.
+
+Everything runs in f32: Mosaic's dynamic_gather rejects bf16 on this
+toolchain (reproducible compile-helper crash, probe file above); the
+upcast/downcast rides the XLA layout transposes between kernels.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    # CPU tests run the kernels through the Pallas interpreter
+    return jax.default_backend() == "cpu"
+
+
+def _check_lane_fit(**axes: int) -> None:
+    """Every resampled axis must fit ONE 128-lane vreg: Mosaic's
+    tpu.dynamic_gather fails with 'Multiple source vregs along gather
+    dimension' beyond that. The model only warps at stride 4 (D<=64,
+    H/4<=64, W/4<=80), so this never fires on the shipped paths; it turns
+    a cryptic Mosaic error into an actionable one for other shapes."""
+    for name, size in axes.items():
+        if size > 128:
+            raise ValueError(
+                f"pallas plane-warp: axis {name}={size} exceeds the "
+                f"128-lane dynamic_gather limit; use the XLA backend for "
+                f"full-resolution warps"
+            )
+
+
+def _row_tile(n: int, d: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
+    """Largest divisor of n whose [tile, d] f32 kernel working set (~8 live
+    intermediates: src/idx/out blocks + valid/i0/f/g0/g1) fits the ~16 MB
+    scoped-vmem limit with headroom; flagship [5120, 64] otherwise OOMs at
+    19.7 MB (measured through the AOT compile helper)."""
+    cap = max(1, budget_bytes // (d * 4 * 8))
+    for t in range(min(n, cap), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+def _corner(q: jnp.ndarray, size: int):
+    """Stacked-sampler corner conventions (ops/sampling.py): clamp the
+    coordinate into [0, size-1], the base index into [0, size-2]; the
+    fraction is taken against the clamped coordinate."""
+    qc = jnp.clip(q, 0.0, size - 1.0)
+    i0 = jnp.clip(jnp.floor(qc), 0.0, max(size - 2.0, 0.0))
+    return i0.astype(jnp.int32), qc - i0
+
+
+def _zmix_kernel(vt_ref, zi_ref, out_ref):
+    # vt [1, N, Z] f32; zi [1, N, D] f32; out [1, N, D]
+    v = vt_ref[0]
+    zi = zi_ref[0]
+    z = v.shape[-1]
+    # epsilon-padded hard OOB zero (homo_utils.py:192; see the matching
+    # note in ops/warp._frustum_warp_planemix — boundary-exact zi must not
+    # be noise-zeroed)
+    valid = (zi >= -1e-3) & (zi <= z - 1.0 + 1e-3)
+    i0, f = _corner(zi, z)
+    g0 = jnp.take_along_axis(v, i0, axis=1)
+    g1 = jnp.take_along_axis(v, i0 + 1, axis=1)
+    out_ref[0] = jnp.where(valid, g0 * (1.0 - f) + g1 * f, 0.0)
+
+
+def _pass1_kernel(m_ref, ab_ref, j_ref):
+    # m [1, H, C, W] f32; ab [1, 2, W]; j [1, H, C, W]
+    _, hh, cc, ww = m_ref.shape
+    a = ab_ref[0, 0:1]  # [1, W]
+    b = ab_ref[0, 1:2]
+    hrow = jax.lax.broadcasted_iota(
+        jnp.int32, (hh, 1, ww), 0
+    ).astype(jnp.float32)
+    xq = a[None] * hrow + b[None]  # [H, 1, W] row-crossing x per column
+    x0, f = _corner(xq, ww)
+    idx = jnp.broadcast_to(x0, (hh, cc, ww)).reshape(hh * cc, ww)
+    fb = jnp.broadcast_to(f, (hh, cc, ww)).reshape(hh * cc, ww)
+    src = m_ref[0].reshape(hh * cc, ww)
+    g0 = jnp.take_along_axis(src, idx, axis=1)
+    g1 = jnp.take_along_axis(src, idx + 1, axis=1)
+    j_ref[0] = (g0 * (1.0 - fb) + g1 * fb).reshape(hh, cc, ww)
+
+
+def _pass2_kernel(jt_ref, yq_ref, xv_ref, out_ref):
+    # jt [1, C, W, H] f32; yq/xv [1, W, Hout]; out [1, C, W, Hout]
+    _, cc, ww, hh = jt_ref.shape
+    yq = yq_ref[0]
+    xv = xv_ref[0]
+    hout = yq.shape[-1]
+    valid = (
+        (yq >= 0.0) & (yq <= hh - 1.0) & (xv >= 0.0) & (xv <= ww - 1.0)
+    )
+    y0, f = _corner(yq, hh)
+    idx = jnp.broadcast_to(y0[None], (cc, ww, hout)).reshape(cc * ww, hout)
+    fb = jnp.broadcast_to(f[None], (cc, ww, hout)).reshape(cc * ww, hout)
+    vb = jnp.broadcast_to(valid[None], (cc, ww, hout)).reshape(cc * ww, hout)
+    src = jt_ref[0].reshape(cc * ww, hh)
+    g0 = jnp.take_along_axis(src, idx, axis=1)
+    g1 = jnp.take_along_axis(src, idx + 1, axis=1)
+    res = g0 * (1.0 - fb) + g1 * fb
+    out_ref[0] = jnp.where(vb, res, 0.0).reshape(cc, ww, hout)
+
+
+def _line_coeffs(hmat: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Per-target-column source-line coefficients from homographies.
+
+    hmat: [P, 3, 3] mapping target pixel (u, v, 1) -> source (x', y', z').
+    For fixed u the image of the target column is a source line
+    x = a_u y + b_u; with c = H[:, 0] u + H[:, 2] and d = H[:, 1]:
+      a = (d0 c2 - d2 c0) / den,  b = (c0 d1 - c1 d0) / den,
+      den = d1 c2 - d2 c1  (near-zero <=> near-horizontal source line,
+    the direction this decomposition cannot express — see module note).
+
+    Returns [P, 2, W] stacked (a, b), f32.
+    """
+    u = jnp.arange(width, dtype=jnp.float32)
+    c = (
+        hmat[:, :, 0:1] * u[None, None, :] + hmat[:, :, 2:3]
+    )  # [P, 3, W]
+    d = hmat[:, :, 1:2]  # [P, 3, 1]
+    den = d[:, 1] * c[:, 2] - d[:, 2] * c[:, 1]  # [P, W]
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    a = (d[:, 0] * c[:, 2] - d[:, 2] * c[:, 0]) / den
+    b = (c[:, 0] * d[:, 1] - c[:, 1] * d[:, 0]) / den
+    return jnp.stack([a, b], axis=1)
+
+
+def _two_pass(maps_t, ab, yq, xv, planes_per_map: int):
+    """Run K2 + K3 over P = M * planes_per_map output planes.
+
+    maps_t: [M, H, C, W] f32 (pre-transposed source maps)
+    ab:     [P, 2, W] line coefficients
+    yq/xv:  [P, W, Hout] exact per-voxel source y / x (for pass-2 + mask)
+    Returns [P, Hout, W, C] f32.
+    """
+    m, hh, cc, ww = maps_t.shape
+    p = ab.shape[0]
+    hout = yq.shape[-1]
+    interp = _interpret()
+
+    j = pl.pallas_call(
+        _pass1_kernel,
+        out_shape=jax.ShapeDtypeStruct((p, hh, cc, ww), jnp.float32),
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh, cc, ww),
+                lambda i, r=planes_per_map: (i // r, 0, 0, 0),
+            ),
+            pl.BlockSpec((1, 2, ww), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hh, cc, ww), lambda i: (i, 0, 0, 0)),
+        interpret=interp,
+    )(maps_t, ab)
+
+    jt = jnp.transpose(j, (0, 2, 3, 1))  # [P, C, W, H]
+
+    out = pl.pallas_call(
+        _pass2_kernel,
+        out_shape=jax.ShapeDtypeStruct((p, cc, ww, hout), jnp.float32),
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, cc, ww, hh), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, ww, hout), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, ww, hout), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cc, ww, hout), lambda i: (i, 0, 0, 0)),
+        interpret=interp,
+    )(jt, yq, xv)
+
+    return jnp.transpose(out, (0, 3, 2, 1))  # [P, Hout, W, C]
+
+
+def frustum_warp_pallas(
+    volume: jnp.ndarray,      # [B, D, H, W, C]
+    t: jnp.ndarray,           # [B, 4, 4] target->source rigid transform
+    cam_intr: jnp.ndarray,    # [B, 3, 3]
+    depth_values: jnp.ndarray,  # [B, D]
+    depth_min: float,
+    depth_interval: float,
+    grid: jnp.ndarray,        # [3, H*W] homogeneous pixel grid
+    x: jnp.ndarray,           # [B, D*H*W] exact source-pixel x (plane-major)
+    y: jnp.ndarray,           # [B, D*H*W] exact source-pixel y
+) -> jnp.ndarray:
+    """plane_mix frustum warp with every gather on the VPU (see module doc).
+
+    Same interface/semantics as ops/warp._frustum_warp_planemix stage A
+    (identical zi field) with the two-pass stage B.
+    """
+    b, d, h, w, c = volume.shape
+    _check_lane_fit(depth=d, height=h, width=w)
+    f32 = jnp.float32
+    dtype = volume.dtype
+
+    # ---- zi field (plane-mix stage A math, ops/warp.py) -------------------
+    rot = t[:, :3, :3]
+    trans = t[:, :3, 3]
+    k_inv = jnp.linalg.inv(cam_intr)
+    m0 = jnp.einsum("bij,bjk->bik", rot, k_inv, precision=_P)
+    a_mats = depth_values[:, :, None, None].astype(f32) * m0[:, None]
+    a_mats = a_mats.at[:, :, :, 2].add(trans[:, None, :])
+    e3 = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], f32), (b, d, 3))
+    n = jnp.linalg.solve(jnp.swapaxes(a_mats, -1, -2), e3[..., None])[..., 0]
+    rays = jnp.einsum("bij,jn->bin", k_inv, grid, precision=_P)
+    denom = jnp.einsum("bdi,bin->bdn", n, rays, precision=_P)  # [B, D, HW]
+    zs = 1.0 / denom
+    zi = (zs - depth_min) / depth_interval
+    in_front = (denom > 1e-8) & jnp.isfinite(zi)
+    zi = jnp.where(in_front, zi, -2.0)
+
+    # ---- K1: z-mix as a lane gather over Z (idx [HW, D] == src [HW, Z]) ---
+    zi_t = jnp.transpose(zi, (0, 2, 1))  # [B, HW, D]
+    vt = jnp.transpose(
+        volume.astype(f32).reshape(b, d, h * w, c), (0, 3, 2, 1)
+    ).reshape(b * c, h * w, d)  # [B*C, HW, Z]
+
+    tile = _row_tile(h * w, d)
+    mixed = pl.pallas_call(
+        _zmix_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * c, h * w, d), f32),
+        grid=(b * c, (h * w) // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(
+                (1, tile, d), lambda i, j, cc=c: (i // cc, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
+        interpret=_interpret(),
+    )(vt, zi_t)
+
+    # [B*C, HW, D] -> per-plane maps [B*D, H, C, W]
+    maps_t = jnp.transpose(
+        mixed.reshape(b, c, h, w, d), (0, 4, 2, 1, 3)
+    ).reshape(b * d, h, c, w)
+
+    # ---- per-plane homographies -> line coefficients ----------------------
+    # target depth plane z_t = dv_d: H_d = dv_d * K R K^-1 + (K t) e3^T
+    krk = jnp.einsum("bij,bjk->bik", cam_intr.astype(f32), m0, precision=_P)
+    kt = jnp.einsum("bij,bj->bi", cam_intr.astype(f32), trans, precision=_P)
+    hmat = (
+        depth_values[:, :, None, None].astype(f32) * krk[:, None]
+    )
+    hmat = hmat.at[:, :, :, 2].add(kt[:, None, :])  # [B, D, 3, 3]
+    ab = _line_coeffs(hmat.reshape(b * d, 3, 3), w)
+
+    # ---- K2 + K3 with the exact per-voxel y (and x for masking) -----------
+    yq = jnp.transpose(
+        y.astype(f32).reshape(b * d, h, w), (0, 2, 1)
+    )  # [B*D, W, Hout]
+    xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
+    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=1)
+    return out.reshape(b, d, h, w, c).astype(dtype)
+
+
+def plane_sweep_warp_pallas(
+    src_feat: jnp.ndarray,     # [B, H, W, C]
+    rot: jnp.ndarray,          # [B, 3, 3] K-premultiplied relative rotation
+    trans: jnp.ndarray,        # [B, 3]    K-premultiplied translation
+    depth_values: jnp.ndarray,  # [B, D]
+    x: jnp.ndarray,            # [B, D*H*W] exact source x (plane-major)
+    y: jnp.ndarray,            # [B, D*H*W] exact source y
+) -> jnp.ndarray:
+    """Two-pass homo_warping: D homographies of ONE shared feature map.
+
+    rot/trans are homo_warping's decomposition (geometry.relative_projection
+    — already K-premultiplied on both sides), so the depth-d homography is
+    directly H_d = d * rot + trans e3^T (homo_utils.py:469-483).
+    """
+    b, h, w, c = src_feat.shape
+    d = depth_values.shape[1]
+    _check_lane_fit(height=h, width=w)
+    f32 = jnp.float32
+    dtype = src_feat.dtype
+
+    hmat = depth_values[:, :, None, None].astype(f32) * rot.astype(f32)[
+        :, None
+    ]
+    hmat = hmat.at[:, :, :, 2].add(trans.astype(f32)[:, None, :])
+    ab = _line_coeffs(hmat.reshape(b * d, 3, 3), w)
+
+    maps_t = jnp.transpose(src_feat.astype(f32), (0, 1, 3, 2))  # [B,H,C,W]
+    yq = jnp.transpose(y.astype(f32).reshape(b * d, h, w), (0, 2, 1))
+    xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
+    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=d)
+    return out.reshape(b, d, h, w, c).astype(dtype)

@@ -14,12 +14,34 @@ scatter or branching.
 
 These are the jnp reference implementations; Pallas fused kernels (see
 estdepth_tpu/ops/pallas/) must match them bit-for-bit-ish (fp32 tolerance).
+
+Two padding semantics, selected by `soft`:
+
+* soft=False (default): the HARD masking above — matches the reference ops
+  that apply their own out-of-range mask after grid_sample (homo_warping,
+  homo_utils.py:488-501; warp_volume's explicit 3D z mask :192-198 variant).
+* soft=True: torch grid_sample's NATIVE zeros padding, where each
+  out-of-bounds interpolation corner contributes zero individually, so a
+  sample fades linearly to zero across the half-voxel band outside
+  [0, size-1] instead of cutting hard. This is what warp_volume's plain
+  F.grid_sample call does (homo_utils.py:276 — no extra mask), and it is
+  numerically ROBUST at exact boundaries: a coordinate at size-1 plus one
+  float ulp keeps ~full value instead of zeroing (the hard mask pseudo-
+  randomly zeroes the far depth plane of every identity-motion frustum
+  warp). Identity: torch zeros padding == clamped interpolation times the
+  separable per-axis ramp clip(min(q + 1, size - q), 0, 1).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _soft_ramp(q: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Per-axis zeros-padding ramp: 1 inside [0, size-1], linear to 0 over
+    the 1-px band outside, 0 beyond — torch grid_sample zeros semantics."""
+    return jnp.clip(jnp.minimum(q + 1.0, size - q), 0.0, 1.0)
 
 
 def _gather_hw(flat_src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, width: int):
@@ -30,7 +52,8 @@ def _gather_hw(flat_src: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, width: i
     )
 
 
-def bilinear_sample(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def bilinear_sample(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                    soft: bool = False) -> jnp.ndarray:
     """Bilinear sample of src [B, H, W, C] at pixel coords x, y [B, N] -> [B, N, C].
 
     align_corners=True coordinates: valid range is [0, W-1] x [0, H-1];
@@ -40,6 +63,10 @@ def bilinear_sample(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h)
+        if soft else valid.astype(jnp.float32)
+    )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
 
@@ -61,11 +88,12 @@ def bilinear_sample(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.nda
     top = v00 + wx * (v01 - v00)
     bot = v10 + wx * (v11 - v10)
     out = top + wy * (bot - top)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)
 
 
 def trilinear_sample(
-    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """Trilinear sample of src [B, D, H, W, C] at coords (x, y, z) [B, N] -> [B, N, C].
 
@@ -85,6 +113,10 @@ def trilinear_sample(
         & (yf <= h - 1)
         & (zf >= 0)
         & (zf <= d - 1)
+    )
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h) * _soft_ramp(zf, d)
+        if soft else valid.astype(jnp.float32)
     )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
@@ -123,7 +155,7 @@ def trilinear_sample(
     front = lerp_plane(z0i)
     back = lerp_plane(z1i)
     out = front + wz * (back - front)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)
 
 
 def _shift1(v: jnp.ndarray, axis: int) -> jnp.ndarray:
@@ -136,7 +168,8 @@ def _shift1(v: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def bilinear_sample_stacked(
-    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """bilinear_sample (same semantics, bit-exact) via a corner-stacked
     source: see trilinear_sample_stacked. Gather rows are 4C wide
@@ -145,6 +178,10 @@ def bilinear_sample_stacked(
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h)
+        if soft else valid.astype(jnp.float32)
+    )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
     x0 = jnp.clip(jnp.floor(xf), 0.0, max(w - 2.0, 0.0))
@@ -175,11 +212,12 @@ def bilinear_sample_stacked(
     top = q[:, :, 0, 0] + wx * (q[:, :, 0, 1] - q[:, :, 0, 0])
     bot = q[:, :, 1, 0] + wx * (q[:, :, 1, 1] - q[:, :, 1, 0])
     out = top + wy * (bot - top)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)
 
 
 def trilinear_sample_stacked(
-    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """trilinear_sample (same semantics, bit-exact vs the patch form) via a
     corner-stacked source gather.
@@ -214,6 +252,10 @@ def trilinear_sample_stacked(
         & (yf <= h - 1)
         & (zf >= 0)
         & (zf <= d - 1)
+    )
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h) * _soft_ramp(zf, d)
+        if soft else valid.astype(jnp.float32)
     )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
@@ -256,11 +298,12 @@ def trilinear_sample_stacked(
     front = lerp_plane(q[:, :, 0])
     back = lerp_plane(q[:, :, 1])
     out = front + wz * (back - front)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)
 
 
 def bilinear_sample_patch(
-    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """bilinear_sample (same semantics) via ONE 2x2xC patch gather — 4x
     fewer gather index rows; see trilinear_sample_patch."""
@@ -268,6 +311,10 @@ def bilinear_sample_patch(
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
     valid = (xf >= 0) & (xf <= w - 1) & (yf >= 0) & (yf <= h - 1)
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h)
+        if soft else valid.astype(jnp.float32)
+    )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
 
@@ -294,11 +341,12 @@ def bilinear_sample_patch(
     top = p[:, :, 0, 0] + wx * (p[:, :, 0, 1] - p[:, :, 0, 0])
     bot = p[:, :, 1, 0] + wx * (p[:, :, 1, 1] - p[:, :, 1, 0])
     out = top + wy * (bot - top)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)
 
 
 def trilinear_sample_patch(
-    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+    src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray,
+    soft: bool = False,
 ) -> jnp.ndarray:
     """trilinear_sample (same semantics) via ONE patch gather.
 
@@ -322,6 +370,10 @@ def trilinear_sample_patch(
         & (yf <= h - 1)
         & (zf >= 0)
         & (zf <= d - 1)
+    )
+    fade = (
+        _soft_ramp(xf, w) * _soft_ramp(yf, h) * _soft_ramp(zf, d)
+        if soft else valid.astype(jnp.float32)
     )
     xf = jnp.clip(xf, 0.0, w - 1.0)
     yf = jnp.clip(yf, 0.0, h - 1.0)
@@ -358,4 +410,4 @@ def trilinear_sample_patch(
     front = lerp_plane(p[:, :, 0])
     back = lerp_plane(p[:, :, 1])
     out = front + wz * (back - front)
-    return out * valid[..., None].astype(src.dtype)
+    return out * fade[..., None].astype(src.dtype)

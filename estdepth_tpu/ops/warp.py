@@ -27,6 +27,7 @@ def plane_sweep_warp(
     src_proj: jnp.ndarray,
     ref_proj: jnp.ndarray,
     depth_values: jnp.ndarray,
+    backend: str = "xla",
 ) -> jnp.ndarray:
     """Warp src features over fronto-parallel depth planes of the ref camera.
 
@@ -61,6 +62,16 @@ def plane_sweep_warp(
     x = (pts[:, 0] / zb).reshape(b, d * h * w)
     y = (pts[:, 1] / zb).reshape(b, d * h * w)
 
+    if backend == "pallas":
+        # VPU lane-gather two-pass form (ops/pallas/plane_warp.py) — the
+        # D per-plane homographies of one shared map, no gather engine
+        from estdepth_tpu.ops.pallas.plane_warp import plane_sweep_warp_pallas
+
+        return plane_sweep_warp_pallas(
+            src_feat, rot, trans, depth_values, x, y
+        )
+    if backend != "xla":
+        raise ValueError(f"unknown backend: {backend!r}")
     out = bilinear_sample_stacked(src_feat, x, y)  # [B, D*H*W, C]
     return out.reshape(b, d, h, w, src_feat.shape[-1])
 
@@ -141,8 +152,15 @@ def _frustum_warp_planemix(
     zi = jnp.where(in_front, zi, -2.0)
 
     # hat weights over the Z source planes: 2 nonzero taps per row, hard
-    # zero outside [0, Z-1] (the reference's OOB rule, homo_utils.py:192)
-    valid_z = (zi >= 0.0) & (zi <= d - 1.0)
+    # zero outside [0, Z-1] (the reference's OOB rule, homo_utils.py:192).
+    # The validity window is epsilon-padded: the reference's STRICT mask
+    # (norm > 1, homo_utils.py:194-198) zeroes a boundary-exact coordinate
+    # whenever float noise lands one ulp outside, which pseudo-randomly
+    # kills far-plane voxels of every near-identity warp; this mode's zi
+    # comes from a different float path than the exact sampler's, so
+    # without the epsilon the two modes disagree by FULL voxel values
+    # there. 1e-3 plane units is far above the noise, far below a plane.
+    valid_z = (zi >= -1e-3) & (zi <= d - 1.0 + 1e-3)
     taps = jnp.arange(d, dtype=f32)
     wz = jnp.maximum(0.0, 1.0 - jnp.abs(zi[..., None] - taps))
     wz = jnp.where(valid_z[..., None], wz, 0.0)  # [B, D, HW, Z]
@@ -222,6 +240,16 @@ def frustum_warp(
         return _frustum_warp_planemix(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
             grid, x, y, z,
+        )
+    if mode == "plane_mix_pallas":
+        # plane_mix with every gather on the VPU (lane-gather z-mix +
+        # two-pass homography resample, ops/pallas/plane_warp.py)
+        assert padding_mode == "zeros", "plane_mix supports zeros padding"
+        from estdepth_tpu.ops.pallas.plane_warp import frustum_warp_pallas
+
+        return frustum_warp_pallas(
+            volume, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y,
         )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index

@@ -1,0 +1,225 @@
+"""Pallas lane-gather warp kernels (ops/pallas/plane_warp.py).
+
+On CPU these run through the Pallas interpreter (plane_warp._interpret), so
+the tests validate the kernel math itself; the Mosaic lowering is exercised
+on the real chip by bench.py / tools/profile_scan.py.
+
+Reference anchors: frustum warp = warp_volume (homo_utils.py:240-279) via
+the plane-mix reformulation; plane-sweep = homo_warping (:458-504).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from estdepth_tpu.ops import geometry
+from estdepth_tpu.ops.warp import frustum_warp, plane_sweep_warp
+
+
+def _pose(tx=0.0, ty=0.0, tz=0.0, yaw=0.0, pitch=0.0):
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    m = np.eye(4)
+    m[:3, :3] = ry @ rx
+    m[:3, 3] = [tx, ty, tz]
+    return jnp.asarray(m[None].astype(np.float32))
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.default_rng(7)
+    b, d, h, w, c = 1, 16, 16, 20, 8
+    vol = jnp.asarray(rng.normal(size=(b, d, h, w, c)).astype(np.float32))
+    intr = jnp.asarray(
+        [[[18.0, 0, (w - 1) / 2], [0, 18.0, (h - 1) / 2], [0, 0, 1]]],
+        jnp.float32,
+    )
+    dvals = jnp.asarray(np.linspace(0.5, 5.0, d)[None].astype(np.float32))
+    dint = float(dvals[0, 1] - dvals[0, 0])
+    return rng, vol, intr, dvals, 0.5, dint
+
+
+POSES = [
+    _pose(),
+    _pose(tx=0.05),
+    _pose(ty=-0.04, tz=0.08),
+    _pose(tx=0.04, ty=-0.03, tz=0.06, yaw=0.015, pitch=-0.01),
+    _pose(tz=0.2, yaw=0.03),
+]
+
+
+def test_frustum_pallas_matches_planemix(setup):
+    """The kernel is the plane-mix algorithm; the only extra deviation is
+    the two-pass x evaluation at row crossings — sub-pixel for realistic
+    motion, so the volumes must agree tightly."""
+    _, vol, intr, dvals, dmin, dint = setup
+    for rel in POSES:
+        pm = frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                          mode="plane_mix")
+        pp = frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                          mode="plane_mix_pallas")
+        np.testing.assert_allclose(
+            np.asarray(pp), np.asarray(pm), atol=2e-2, rtol=0.0
+        )
+
+
+def test_frustum_pallas_exact_for_inplane_motion(setup):
+    """Pure in-plane translation: the z-mix and the two-pass x are both
+    exact (zi constant per plane, source lines vertical), so the kernel
+    must equal the exact trilinear warp to float tolerance."""
+    _, vol, intr, dvals, dmin, dint = setup
+    for rel in [_pose(), _pose(tx=0.07), _pose(tx=-0.03, ty=0.06)]:
+        ex = frustum_warp(vol, rel, intr, dvals, dmin, dint)
+        pp = frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                          mode="plane_mix_pallas")
+        np.testing.assert_allclose(
+            np.asarray(pp), np.asarray(ex), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_frustum_pallas_oob_zeroed(setup):
+    """A warp that throws every sample out of frustum returns all zeros
+    (the reference's zeros padding, homo_utils.py:192-198)."""
+    _, vol, intr, dvals, dmin, dint = setup
+    rel = _pose(tx=1e3)
+    pp = frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                      mode="plane_mix_pallas")
+    assert float(jnp.max(jnp.abs(pp))) == 0.0
+
+
+def test_plane_sweep_pallas_matches_xla(setup):
+    """Plane-sweep has no z stage. Pure translations keep target columns
+    mapped to vertical source lines, so the two-pass form is exact; with
+    rotation the row-crossing x evaluation deviates sub-pixel (same class
+    as plane-mix's documented z deviation) — tolerance-pinned."""
+    rng, _, intr, dvals, _, _ = setup
+    b, h, w, c = 1, 16, 20, 8
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    ref_proj = geometry.camera_projection(intr, _pose())
+    for rel in [_pose(), _pose(tx=0.05), _pose(ty=-0.04, tz=0.08)]:
+        src_proj = geometry.camera_projection(intr, rel)
+        a = plane_sweep_warp(feat, src_proj, ref_proj, dvals)
+        p = plane_sweep_warp(feat, src_proj, ref_proj, dvals,
+                             backend="pallas")
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(a), atol=5e-4, rtol=0.0
+        )
+    for rel in POSES[3:]:  # rotation poses
+        src_proj = geometry.camera_projection(intr, rel)
+        a = plane_sweep_warp(feat, src_proj, ref_proj, dvals)
+        p = plane_sweep_warp(feat, src_proj, ref_proj, dvals,
+                             backend="pallas")
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(a), atol=2e-2, rtol=0.0
+        )
+
+
+def test_model_pallas_warp_end_to_end():
+    """DepthNetHybrid(pallas_warp=True) produces depth maps close to the
+    plane-mix model's — the full decoder path (EST memory warps + cost
+    volumes) runs through the kernels."""
+    from estdepth_tpu.data.synthetic import (
+        SyntheticSceneConfig, synthetic_stream,
+    )
+    from estdepth_tpu.models import DepthNetHybrid, ESTMemory
+    import jax
+
+    h, w, nd = 64, 96, 16
+    base = dict(
+        ndepths=nd, depth_min=0.5, depth_max=5.0, resnet=18,
+        est_transformer=True,
+    )
+    model_pm = DepthNetHybrid(**base, fast_frustum=True)
+    model_pl = DepthNetHybrid(**base, pallas_warp=True)
+
+    frames = list(synthetic_stream(
+        SyntheticSceneConfig(height=h, width=w), n_frames=3,
+    ))
+    imgs = jnp.asarray(np.stack([f["img"] for f in frames])[None])
+    poses = jnp.asarray(np.stack([f["cam_pose"] for f in frames])[None])
+    intr = jnp.asarray(frames[0]["cam_intr"][None])
+
+    variables = jax.jit(
+        lambda r: model_pm.init(r, imgs, poses, intr, train=False)
+    )(jax.random.key(0))
+    mem = ESTMemory.create(1, 2, nd, h // 4, w // 4, 16)
+    mem = mem.replace(
+        keys=jnp.asarray(
+            np.random.default_rng(3).normal(
+                size=mem.keys.shape
+            ).astype(np.float32) * 0.2
+        ),
+        values=jnp.asarray(
+            np.random.default_rng(4).normal(
+                size=mem.values.shape
+            ).astype(np.float32) * 0.2
+        ),
+        poses=jnp.tile(poses[:, :1], (1, 2, 1, 1)),
+        valid=jnp.ones((1, 2), bool),
+    )
+
+    out_pm, _ = model_pm.apply(variables, imgs, poses, intr, memory=mem,
+                               use_est=True, train=False)
+    out_pl, _ = model_pl.apply(variables, imgs, poses, intr, memory=mem,
+                               use_est=True, train=False)
+    d_pm = np.asarray(out_pm["depth"][:, 0, 0])
+    d_pl = np.asarray(out_pl["depth"][:, 0, 0])
+    assert np.abs(d_pl - d_pm).mean() < 5e-3
+    assert np.abs(d_pl - d_pm).max() < 0.2
+
+
+def test_soft_sampler_matches_torch_band():
+    """soft=True reproduces torch grid_sample's NATIVE zeros padding
+    including the half-voxel fade band outside [0, size-1] that the hard
+    mode (and the reference's strict masks) cut; compared WITHOUT pushing
+    out-of-range coordinates away (unlike test_sampling's hard goldens)."""
+    torch = pytest.importorskip("torch")
+    from estdepth_tpu.ops.sampling import (
+        bilinear_sample, bilinear_sample_stacked,
+        trilinear_sample, trilinear_sample_stacked,
+    )
+
+    rng = np.random.default_rng(11)
+    b, d, h, w, c = 2, 6, 9, 11, 4
+    n = 600
+    src3 = rng.normal(size=(b, d, h, w, c)).astype(np.float32)
+    x = rng.uniform(-2.5, w + 1.5, size=(b, n)).astype(np.float32)
+    y = rng.uniform(-2.5, h + 1.5, size=(b, n)).astype(np.float32)
+    z = rng.uniform(-2.5, d + 1.5, size=(b, n)).astype(np.float32)
+
+    def norm(q, size):
+        return 2 * q / (size - 1) - 1
+
+    t3 = torch.from_numpy(src3).permute(0, 4, 1, 2, 3)
+    grid3 = torch.from_numpy(
+        np.stack([norm(x, w), norm(y, h), norm(z, d)], axis=-1)[
+            :, :, None, None, :
+        ]
+    )
+    want3 = torch.nn.functional.grid_sample(
+        t3, grid3, mode="bilinear", padding_mode="zeros",
+        align_corners=True,
+    ).squeeze(-1).squeeze(-1).permute(0, 2, 1).numpy()
+    for fn in (trilinear_sample, trilinear_sample_stacked):
+        got = np.asarray(
+            fn(jnp.array(src3), jnp.array(x), jnp.array(y), jnp.array(z),
+               soft=True)
+        )
+        np.testing.assert_allclose(got, want3, rtol=1e-4, atol=1e-5)
+
+    src2 = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    t2 = torch.from_numpy(src2).permute(0, 3, 1, 2)
+    grid2 = torch.from_numpy(
+        np.stack([norm(x, w), norm(y, h)], axis=-1)[:, :, None, :]
+    )
+    want2 = torch.nn.functional.grid_sample(
+        t2, grid2, mode="bilinear", padding_mode="zeros",
+        align_corners=True,
+    ).squeeze(-1).permute(0, 2, 1).numpy()
+    for fn in (bilinear_sample, bilinear_sample_stacked):
+        got = np.asarray(
+            fn(jnp.array(src2), jnp.array(x), jnp.array(y), soft=True)
+        )
+        np.testing.assert_allclose(got, want2, rtol=1e-4, atol=1e-5)

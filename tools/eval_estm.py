@@ -67,6 +67,12 @@ def parse_args():
                    help="plane-mix EST memory warps (ops/warp.py): ~2x on "
                         "the profiled hot op; sub-plane-spacing deviation "
                         "from the exact trilinear (test_fast_frustum.py)")
+    p.add_argument("--pallas-warp", action="store_true",
+                   help="route BOTH hot warps through the Pallas "
+                        "lane-gather kernels (ops/pallas/plane_warp.py): "
+                        "no gather engine on the critical path; implies "
+                        "plane-mix z semantics plus a sub-pixel two-pass "
+                        "deviation (test_pallas_warp.py). Eval-only.")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"
@@ -87,6 +93,7 @@ def build_model_and_params(args):
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
         dtype=jnp.bfloat16 if args.bf16 else None,
         fast_frustum=getattr(args, "fast_frustum", False),
+        pallas_warp=getattr(args, "pallas_warp", False),
     )
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(

@@ -55,6 +55,8 @@ def parse_args():
     p.add_argument("--save-maps", action="store_true")
     p.add_argument("--fast-frustum", action="store_true",
                    help="plane-mix EST memory warps (see eval_estm.py)")
+    p.add_argument("--pallas-warp", action="store_true",
+                   help="Pallas lane-gather warps (see eval_estm.py)")
     p.add_argument("--save-probs", action="store_true",
                    help="also dump per-target init/refined probability maps "
                         "(eval_hybrid.py:59-62 save_init_prob/"

@@ -68,6 +68,13 @@ def parse_args():
                         "pose pairing instead of strict reference parity "
                         "(measures the documented deviation, not the gate)")
     p.add_argument("--json", type=str, default=None)
+    p.add_argument("--variant", choices=["exact", "plane_mix", "pallas"],
+                   default="exact",
+                   help="warp backend for OUR side: 'exact' is the "
+                        "reference-faithful default; 'plane_mix' / "
+                        "'pallas' gate the fast eval paths' end-metric "
+                        "drift against the actual reference (the gate "
+                        "then measures approximation + float error)")
     return p.parse_args()
 
 
@@ -108,9 +115,18 @@ def main():
             min(len(ds), args.max_frames + args.lwindow - 1))]
 
     # ---- weights (shared by construction) ----------------------------------
+    if args.ndepths < 63:
+        # the reference side cannot run shallower volumes: pixel2cam has a
+        # leftover hardcoded debug index `depth[:, 0, 62, :]`
+        # (/root/reference/utils/homo_utils.py:56) that IndexErrors for
+        # ndepths < 63; the SPP pooling additionally needs height/4 >= 32
+        sys.exit("parity_gate: --ndepths must be >= 63 (the reference's "
+                 "homo_utils.py:56 indexes depth plane 62 unconditionally)")
     model = DepthNetHybrid(
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
+        fast_frustum=args.variant == "plane_mix",
+        pallas_warp=args.variant == "pallas",
     )
     if args.ckpt:
         variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)

@@ -331,6 +331,174 @@ def main():
 
     measure("refine_2d", [(1, hq, wq, 128), (1, h // 2, w // 2, 64)], refine)
 
+    # ---- frustum warp at the TRUE streaming multiplicity -------------------
+    # Steady-state streaming fuses 4 neighbors per target (2 in-window +
+    # memory_size=2), each a K/V-concatenated 2C=32 volume — the x2
+    # measurements above undercount the step's warp term by half.
+    def frustum4(v, e):
+        rel = jnp.tile(jnp.eye(4)[None], (4, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (4, 1, 1)),
+            jnp.tile(dvals[None], (4, 1)), 0.01, 10.0 / (nd - 1),
+        )
+
+    measure("frustum_warp_x4", [(4, nd, hq, wq, 32), (4,)], frustum4,
+            dtypes=[dt, jnp.float32])
+
+    def frustum4_planemix(v, e):
+        rel = jnp.tile(jnp.eye(4)[None], (4, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (4, 1, 1)),
+            jnp.tile(dvals[None], (4, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix",
+        )
+
+    measure("frustum_planemix_x4", [(4, nd, hq, wq, 32), (4,)],
+            frustum4_planemix, dtypes=[dt, jnp.float32])
+
+    # ---- Pallas lane-gather warps (ops/pallas/plane_warp.py) ---------------
+    def frustum2_pallas(v, e):
+        rel = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (2, 1, 1)),
+            jnp.tile(dvals[None], (2, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix_pallas",
+        )
+
+    measure("frustum_pallas_x2", [(2, nd, hq, wq, 32), (2,)],
+            frustum2_pallas, dtypes=[dt, jnp.float32])
+
+    def psweep_pallas(f, e):
+        proj = jnp.tile(jnp.eye(4)[None], (2, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return plane_sweep_warp(
+            f, proj, jnp.tile(jnp.eye(4)[None], (2, 1, 1)),
+            jnp.tile(dvals[None], (2, 1)), backend="pallas",
+        )
+
+    measure("plane_sweep_pallas_x2", [(2, hq, wq, 32), (2,)], psweep_pallas,
+            dtypes=[dt, jnp.float32])
+
+    # ---- FULL window step (what bench's scan mode actually runs) -----------
+    # The component sum has never matched the end-to-end window; this
+    # measures the whole flagship streaming step — compute_matching on the
+    # one new frame + full model.apply with 4-neighbor EST fusion + memory
+    # push — inside the same scan-amortized harness, so (full_step - sum of
+    # parts) is the honest unattributed residual.
+    from estdepth_tpu.models import DepthNetHybrid, ESTMemory
+
+    _full_names = {
+        "full_step", "full_step_planemix", "full_step_pallas",
+        "cost_volumes_full", "decoder_full", "decoder_full_planemix",
+        "semantic_unet", "resnet_in_model",
+    }
+    if only is None or _full_names & only:
+        model = DepthNetHybrid(
+            ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
+            est_transformer=True, dtype=dt,
+        )
+        model_fast = model.clone(fast_frustum=True)
+        pz = jnp.asarray(rng.normal(size=(1, 3, 4, 4)).astype(np.float32))
+        iz = jnp.asarray(rng.normal(size=(1, 3, h, w, 3)).astype(np.float32))
+        kz = jnp.asarray(
+            [[72.2 * 4, 0.0, (w - 1) / 2], [0.0, 72.2 * 4, (h - 1) / 2],
+             [0.0, 0.0, 1.0]], jnp.float32)[None]
+        ez = jnp.tile(jnp.eye(4)[None, None], (1, 3, 1, 1))
+        variables = jax.jit(
+            lambda r, i, p, k: model.init(r, i, p, k, train=False)
+        )(jax.random.key(0), iz, ez, kz)
+
+        def full_step(mdl, imgs, twist, feats2, memkv):
+            # near-identity window poses from the per-iteration twist (the
+            # gather pattern only needs plausible in-bounds coordinates)
+            poses = jnp.tile(jnp.eye(4)[None, None], (1, 3, 1, 1))
+            poses = poses.at[0, :, :3, 3].set(0.08 * twist)
+            mem = ESTMemory(
+                keys=memkv[..., :16], values=memkv[..., 16:],
+                poses=jnp.tile(jnp.eye(4)[None, None], (1, 2, 1, 1)),
+                valid=jnp.ones((1, 2), jnp.bool_),
+            )
+            scaled = imgs * 40.0 + 128.0  # into the model's 0..255 domain
+            new_feat = mdl.apply(
+                variables, scaled[:, -1], method="compute_matching")
+            feats = jnp.concatenate([feats2, new_feat[:, None]], 1)
+            out, (key, val, pose) = mdl.apply(
+                variables, scaled, poses, kz, memory=mem, use_est=True,
+                train=False, matching_feats=feats,
+            )
+            return out["depth"][:, 0], mem.push(key, val, pose)
+
+        full_shapes = [(1, 3, h, w, 3), (3, 3), (1, 2, hq, wq, 32),
+                       (1, 2, nd, hq, wq, 32)]
+        full_dts = [jnp.float32, jnp.float32, dt, dt]
+        measure("full_step", full_shapes,
+                lambda i, t, f, m: full_step(model, i, t, f, m),
+                dtypes=full_dts)
+        measure("full_step_planemix", full_shapes,
+                lambda i, t, f, m: full_step(model_fast, i, t, f, m),
+                dtypes=full_dts)
+        model_pallas = model.clone(pallas_warp=True)
+        measure("full_step_pallas", full_shapes,
+                lambda i, t, f, m: full_step(model_pallas, i, t, f, m),
+                dtypes=full_dts)
+
+        # -- bisecting probes for (full_step - sum of parts) ----------------
+        def cost_volumes_probe(feats, twist):
+            poses = jnp.tile(jnp.eye(4)[None, None], (1, 3, 1, 1))
+            poses = poses.at[0, :, :3, 3].set(0.08 * twist)
+            kq = intr_q[None]
+            dv = dvals[None]
+            return model.apply(
+                variables, feats, poses, kq, dv, False,
+                method="_cost_volumes",
+            )
+
+        measure("cost_volumes_full", [(1, 3, hq, wq, 32), (3, 3)],
+                cost_volumes_probe, dtypes=[dt, jnp.float32])
+
+        def decoder_probe(mdl, cv, s4, s3, s2, s1, s0, twist, memkv):
+            poses = jnp.tile(jnp.eye(4)[None, None], (1, 1, 1, 1))
+            mem = ESTMemory(
+                keys=memkv[..., :16], values=memkv[..., 16:],
+                poses=jnp.tile(jnp.eye(4)[None, None], (1, 2, 1, 1)),
+                valid=jnp.ones((1, 2), jnp.bool_),
+            )
+            return mdl.apply(
+                variables, cv, [s0, s1, s2, s3, s4], poses, intr_q[None],
+                dvals[None], 0.01, 10.0 / (nd - 1), mem, True, False,
+                method=lambda m, *a: m.decoder(*a),
+            )
+
+        dec_shapes = [
+            (1, 1, nd, hq, wq, 32),
+            (1, h // 32, w // 32, 2048), (1, h // 16, w // 16, 1024),
+            (1, h // 8, w // 8, 512), (1, hq, wq, 256),
+            (1, h // 2, w // 2, 64),
+            (3,), (1, 2, nd, hq, wq, 32),
+        ]
+        dec_dts = [dt] * 6 + [jnp.float32, dt]
+        measure("decoder_full", dec_shapes,
+                lambda *a: decoder_probe(model, *a), dtypes=dec_dts)
+        measure("decoder_full_planemix", dec_shapes,
+                lambda *a: decoder_probe(model_fast, *a), dtypes=dec_dts)
+
+        def unet_probe(s4, s3, s2, s1, s0):
+            return model.apply(
+                variables, [s0, s1, s2, s3, s4], False,
+                method=lambda m, f, tr: m.decoder._semantic_unet(f, tr),
+            )
+
+        measure("semantic_unet", dec_shapes[1:6], unet_probe,
+                dtypes=[dt] * 5)
+
+        measure("resnet_in_model", [(1, h, w, 3)],
+                lambda x: model.apply(
+                    variables, x, False,
+                    method=lambda m, i, tr: m.semantic_feature(i, tr)))
+
     # ---- lane-packed conv experiments -------------------------------------
     k32 = jnp.asarray(rng.normal(size=(3, 3, 3, 32, 32)).astype(np.float32)
                       ).astype(dt) * 0.1
