@@ -71,8 +71,11 @@ class DepthNetHybrid(nn.Module):
     # the gather engine leaves the critical path entirely — z-mix and the
     # two-pass homography resample run as same-shape vreg lane gathers on
     # the VPU. Implies the plane-mix z semantics plus a sub-pixel two-pass
-    # x deviation (tests/test_pallas_warp.py pins tolerances). EVAL-ONLY:
-    # the kernels define no VJP — the trainer never enables this.
+    # x deviation (tests/test_pallas_warp.py pins tolerances). Trainable:
+    # the kernels carry a custom VJP — the plane-mix XLA path's gradient
+    # w.r.t. the sampled volume at identical coordinates, with zero
+    # coordinate cotangents (the reference's no_grad grid math,
+    # homo_utils.py:468).
     pallas_warp: bool = False
     # Evaluate the 3D-stack convs lane-packed (ops/packed_conv.py): exactly
     # the same arithmetic restructured so p horizontally-adjacent output

@@ -50,6 +50,8 @@ upcast/downcast rides the XLA layout transposes between kernels.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -222,7 +224,7 @@ def _two_pass(maps_t, ab, yq, xv, planes_per_map: int):
     return jnp.transpose(out, (0, 3, 2, 1))  # [P, Hout, W, C]
 
 
-def frustum_warp_pallas(
+def _frustum_impl(
     volume: jnp.ndarray,      # [B, D, H, W, C]
     t: jnp.ndarray,           # [B, 4, 4] target->source rigid transform
     cam_intr: jnp.ndarray,    # [B, 3, 3]
@@ -304,7 +306,63 @@ def frustum_warp_pallas(
     return out.reshape(b, d, h, w, c).astype(dtype)
 
 
-def plane_sweep_warp_pallas(
+# ---- trainable wrappers ----------------------------------------------------
+# The kernels are forward-only; the VJP is defined as the gradient of the
+# XLA plane-mix formulation W.R.T. THE SAMPLED VOLUME at the same
+# coordinates — the two forwards agree to sub-pixel tolerance
+# (tests/test_pallas_warp.py) and sampling is linear in the source, so this
+# is the plane-mix cotangent scatter, not an approximation of one.
+# Coordinate/pose/intrinsics cotangents are ZERO: the reference computes
+# its plane-sweep grid under torch.no_grad() (homo_utils.py:468) and pose/
+# intrinsics are non-parameter inputs everywhere, so no training signal is
+# lost (tests/test_pallas_warp.py::test_frustum_pallas_grad*).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _frustum_diff(depth_min, depth_interval, volume, t, cam_intr,
+                  depth_values, grid, x, y, z):
+    del z
+    return _frustum_impl(volume, t, cam_intr, depth_values, depth_min,
+                         depth_interval, grid, x, y)
+
+
+def _frustum_diff_fwd(depth_min, depth_interval, volume, t, cam_intr,
+                      depth_values, grid, x, y, z):
+    out = _frustum_impl(volume, t, cam_intr, depth_values, depth_min,
+                        depth_interval, grid, x, y)
+    return out, (volume, t, cam_intr, depth_values, grid, x, y, z)
+
+
+def _frustum_diff_bwd(depth_min, depth_interval, res, ct):
+    from estdepth_tpu.ops.warp import _frustum_warp_planemix
+
+    volume, t, cam_intr, depth_values, grid, x, y, z = res
+    _, vjp = jax.vjp(
+        lambda v: _frustum_warp_planemix(
+            v, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y, z,
+        ),
+        volume,
+    )
+    (dvol,) = vjp(ct)
+    zl = jnp.zeros_like
+    return (dvol, zl(t), zl(cam_intr), zl(depth_values), zl(grid),
+            zl(x), zl(y), zl(z))
+
+
+_frustum_diff.defvjp(_frustum_diff_fwd, _frustum_diff_bwd)
+
+
+def frustum_warp_pallas(
+    volume, t, cam_intr, depth_values, depth_min: float,
+    depth_interval: float, grid, x, y, z,
+) -> jnp.ndarray:
+    """Differentiable entry: Pallas forward, plane-mix-VJP backward."""
+    return _frustum_diff(float(depth_min), float(depth_interval), volume,
+                         t, cam_intr, depth_values, grid, x, y, z)
+
+
+def _psweep_impl(
     src_feat: jnp.ndarray,     # [B, H, W, C]
     rot: jnp.ndarray,          # [B, 3, 3] K-premultiplied relative rotation
     trans: jnp.ndarray,        # [B, 3]    K-premultiplied translation
@@ -335,3 +393,36 @@ def plane_sweep_warp_pallas(
     xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
     out = _two_pass(maps_t, ab, yq, xv, planes_per_map=d)
     return out.reshape(b, d, h, w, c).astype(dtype)
+
+
+@jax.custom_vjp
+def plane_sweep_warp_pallas(src_feat, rot, trans, depth_values, x, y):
+    """Differentiable entry: Pallas forward; backward is the exact
+    bilinear-sampling transpose w.r.t. src_feat (the XLA path's own VJP —
+    ops/warp.plane_sweep_warp samples `bilinear_sample_stacked(feat, x, y)`
+    at the identical coordinates). Coordinate cotangents are zero, exactly
+    the reference's torch.no_grad() grid (homo_utils.py:468)."""
+    return _psweep_impl(src_feat, rot, trans, depth_values, x, y)
+
+
+def _psweep_fwd(src_feat, rot, trans, depth_values, x, y):
+    out = _psweep_impl(src_feat, rot, trans, depth_values, x, y)
+    return out, (src_feat, rot, trans, depth_values, x, y)
+
+
+def _psweep_bwd(res, ct):
+    from estdepth_tpu.ops.sampling import bilinear_sample_stacked
+
+    src_feat, rot, trans, depth_values, x, y = res
+    b, h, w, c = src_feat.shape
+    d = depth_values.shape[1]
+    _, vjp = jax.vjp(
+        lambda s: bilinear_sample_stacked(s, x, y).reshape(b, d, h, w, c),
+        src_feat,
+    )
+    (dfeat,) = vjp(ct.astype(src_feat.dtype))
+    zl = jnp.zeros_like
+    return (dfeat, zl(rot), zl(trans), zl(depth_values), zl(x), zl(y))
+
+
+plane_sweep_warp_pallas.defvjp(_psweep_fwd, _psweep_bwd)

@@ -249,7 +249,7 @@ def frustum_warp(
 
         return frustum_warp_pallas(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
-            grid, x, y,
+            grid, x, y, z,
         )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index

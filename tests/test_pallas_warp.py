@@ -170,6 +170,109 @@ def test_model_pallas_warp_end_to_end():
     assert np.abs(d_pl - d_pm).max() < 0.2
 
 
+def test_frustum_pallas_grad_matches_planemix(setup):
+    """The custom VJP is DEFINED as the plane-mix path's gradient w.r.t.
+    the volume at identical coordinates, so d(loss)/d(volume) must match
+    plane_mix's exactly (same cotangent scatter); pose cotangents are
+    zero by construction (reference no_grad grid, homo_utils.py:468)."""
+    import jax
+
+    _, vol, intr, dvals, dmin, dint = setup
+    rel = POSES[3]
+
+    def loss(v, mode):
+        out = frustum_warp(v, rel, intr, dvals, dmin, dint, mode=mode)
+        return jnp.sum(out * out)
+
+    g_pm = jax.grad(lambda v: loss(v, "plane_mix"))(vol)
+    g_pl = jax.grad(lambda v: loss(v, "plane_mix_pallas"))(vol)
+    # the cotangent seeds differ slightly (out_pallas vs out_planemix in
+    # the squared loss), so allow the corresponding linear deviation
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_pm), atol=5e-2, rtol=1e-3
+    )
+    g_pose = jax.grad(
+        lambda r: loss_pose(vol, r, intr, dvals, dmin, dint)
+    )(rel)
+    assert float(jnp.max(jnp.abs(g_pose))) == 0.0
+
+
+def loss_pose(vol, rel, intr, dvals, dmin, dint):
+    out = frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                       mode="plane_mix_pallas")
+    return jnp.sum(out * out)
+
+
+def test_plane_sweep_pallas_grad_matches_xla(setup):
+    """d(loss)/d(src_feat) through the pallas backend equals the XLA
+    sampler's gradient (the VJP is literally that sampler's transpose)."""
+    import jax
+
+    rng, _, intr, dvals, _, _ = setup
+    b, h, w, c = 1, 16, 20, 8
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    ref_proj = geometry.camera_projection(intr, _pose())
+    src_proj = geometry.camera_projection(intr, _pose(tx=0.06, ty=-0.02))
+
+    def loss(f, backend):
+        out = plane_sweep_warp(f, src_proj, ref_proj, dvals,
+                               backend=backend)
+        return jnp.sum(out * out)
+
+    g_x = jax.grad(lambda f: loss(f, "xla"))(feat)
+    g_p = jax.grad(lambda f: loss(f, "pallas"))(feat)
+    np.testing.assert_allclose(
+        np.asarray(g_p), np.asarray(g_x), atol=5e-3, rtol=1e-3
+    )
+
+
+def test_train_step_with_pallas_warp():
+    """A full DP train step through pallas_warp=True: the custom VJPs make
+    the kernels trainable (loss finite, params move). ndepths == H/4 so the
+    z-mix lane gather sees its D == Z square case."""
+    import jax
+    from estdepth_tpu.data.synthetic import (
+        SyntheticSceneConfig, synthetic_window,
+    )
+    from estdepth_tpu.models import DepthNetHybrid
+    from estdepth_tpu.parallel.mesh import (
+        create_mesh, replicate, shard_batch,
+    )
+    from estdepth_tpu.train.schedule import warmup_multistep_schedule
+    from estdepth_tpu.train.trainer import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+
+    cfg = SyntheticSceneConfig(height=64, width=96, focal=80.0)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_window(
+            cfg, n_frames=3, depth_min=0.5, depth_max=8.0, batch=1
+        ).items()
+    }
+    mesh = create_mesh(1)
+    model = DepthNetHybrid(
+        ndepths=16, depth_min=0.5, depth_max=8.0, resnet=18,
+        est_transformer=True, bn_axis_name="data", pallas_warp=True,
+    )
+    tx = make_optimizer(
+        warmup_multistep_schedule(1e-3, 100, warmup_steps=10)
+    )
+    state = create_train_state(model, jax.random.key(0), batch, tx)
+    state = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    step = make_train_step(model, tx, mesh, 0.5, 8.0)
+
+    p0 = jax.tree.map(lambda x: np.asarray(x), state.params)
+    state, scalars = step(state, sharded, jnp.float32(10.0))
+    assert np.isfinite(float(scalars["loss"]))
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        state.params, p0,
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
 def test_soft_sampler_matches_torch_band():
     """soft=True reproduces torch grid_sample's NATIVE zeros padding
     including the half-voxel fade band outside [0, size-1] that the hard

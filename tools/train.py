@@ -79,6 +79,14 @@ def parse_args():
                    help="jax_debug_nans — the TPU equivalent of the "
                         "reference's always-on autograd anomaly mode "
                         "(train_hybrid.py:167)")
+    p.add_argument("--fast-frustum", action="store_true",
+                   help="train with plane-mix EST memory warps (fully "
+                        "differentiable XLA reformulation; sub-plane-"
+                        "spacing forward deviation, test_fast_frustum.py)")
+    p.add_argument("--pallas-warp", action="store_true",
+                   help="train with the Pallas lane-gather warps: VPU "
+                        "forward, plane-mix-VJP backward "
+                        "(ops/pallas/plane_warp.py)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward during backward (larger batches)")
     p.add_argument("--remat-policy", default="nothing",
@@ -209,6 +217,7 @@ def main():
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet,
         est_transformer=not args.no_est, bn_axis_name="data",
+        fast_frustum=args.fast_frustum, pallas_warp=args.pallas_warp,
     )
 
     example = next(iter(loader.epoch(0)))
