@@ -372,6 +372,21 @@ def main():
         if "window_gflops" in extras:
             pflops = extras["window_gflops"] * 1e9 * pallas_scan_fps
             extras["mfu_scan_pallas"] = round(pflops / V5E_BF16_PEAK_FLOPS, 5)
+
+        # max offline throughput: 4 independent scenes x pallas warps
+        # through one batched scan program (distinct scenes per stream,
+        # same protocol as scan_batch4_total_fps)
+        _fetch_with_timeout(
+            proc_pl(variables, wa_i, wa_p, wa_k), seconds=300.0,
+            label="scan-batch4-pallas-warmup",
+        )
+        t0 = time.perf_counter()
+        depths4p = proc_pl(variables, tb_i, tb_p, tb_k)
+        _fetch_with_timeout(depths4p, seconds=300.0, label="scan-batch4-pallas")
+        dt4p = time.perf_counter() - t0
+        extras["scan_batch4_pallas_total_fps"] = round(
+            4 * n_windows / dt4p, 3
+        )
     except Exception as e:
         extras["scan_pallas_error"] = f"{type(e).__name__}: {e}"[:120]
 
@@ -393,6 +408,24 @@ def main():
             extras["pallas_streaming_fps"] = round(pfps, 3)
         except Exception as e:
             extras["pallas_error"] = f"{type(e).__name__}: {e}"[:120]
+
+        # -- online streaming with the Pallas lane-gather warps ------------
+        # same strict fetch-per-frame protocol as the headline streaming
+        # number, so (this - streaming_fps) isolates the warp-kernel win
+        # in the latency-critical serving path
+        try:
+            wrunner = ESTMRunner(
+                model.clone(pallas_warp=True), variables, h, w,
+                lwindow=3, memory_size=2,
+                output_scales=(0, 2), output_dtype=jnp.bfloat16,
+            )
+            wfps = _time_streaming(
+                wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
+            )
+            extras["streaming_pallas_warp_fps"] = round(wfps, 3)
+            wrunner = None  # noqa: F841
+        except Exception as e:
+            extras["pallas_warp_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- serving variants -------------------------------------------------
     try:
