@@ -21,6 +21,11 @@ Prints ONE JSON line. Required keys {"metric", "value", "unit",
     cost_analysis, v5e bf16 peak 197 TFLOP/s
   - pallas_streaming_fps: same pipeline with the fused Pallas EST-attention
     kernel (ops/pallas/) — the measured Pallas-vs-XLA verdict
+  - scan_planemix_fps / scan_pallas_fps (+ mfu_scan_pallas) /
+    scan_batch4_pallas_total_fps / streaming_pallas_warp_fps
+    (+ _pipelined): the fast-warp variants (plane-mix reformulation and
+    the Pallas lane-gather kernels, ops/pallas/plane_warp.py) under the
+    same protocols; end-metric drift characterized in PARITY.md
   - baseline: the traceable vs_baseline denominator — the reference
     PyTorch implementation measured on THIS host (tools/measure_baseline.py
     -> BASELINE_MEASURED.json); no GPU exists here and the reference
@@ -423,6 +428,14 @@ def main():
                 wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
             )
             extras["streaming_pallas_warp_fps"] = round(wfps, 3)
+            # same program, fetch pipelined one frame deep: compute (~27 ms
+            # window) overlaps the ~30 ms relay fetch — the serving
+            # throughput ceiling of this build environment
+            wpfps = _time_streaming(
+                wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS,
+                pipeline=True,
+            )
+            extras["streaming_pallas_warp_pipelined_fps"] = round(wpfps, 3)
             wrunner = None  # noqa: F841
         except Exception as e:
             extras["pallas_warp_error"] = f"{type(e).__name__}: {e}"[:120]
