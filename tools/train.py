@@ -79,6 +79,12 @@ def parse_args():
                    help="jax_debug_nans — the TPU equivalent of the "
                         "reference's always-on autograd anomaly mode "
                         "(train_hybrid.py:167)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute (norm statistics, softargmin and "
+                        "optimizer state stay fp32 — models/layers.py). "
+                        "The reference's apex-AMP equivalent; halves the "
+                        "activation+backward-temp HBM that pins the "
+                        "flagship batch (ARCHITECTURE.md headroom #1)")
     p.add_argument("--fast-frustum", action="store_true",
                    help="train with plane-mix EST memory warps (fully "
                         "differentiable XLA reformulation; sub-plane-"
@@ -218,6 +224,7 @@ def main():
         depth_max=args.depth_max, resnet=args.resnet,
         est_transformer=not args.no_est, bn_axis_name="data",
         fast_frustum=args.fast_frustum, pallas_warp=args.pallas_warp,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
     example = next(iter(loader.epoch(0)))
