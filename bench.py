@@ -414,31 +414,32 @@ def main():
         except Exception as e:
             extras["pallas_error"] = f"{type(e).__name__}: {e}"[:120]
 
-        # -- online streaming with the Pallas lane-gather warps ------------
-        # same strict fetch-per-frame protocol as the headline streaming
-        # number, so (this - streaming_fps) isolates the warp-kernel win
-        # in the latency-critical serving path
-        try:
-            wrunner = ESTMRunner(
-                model.clone(pallas_warp=True), variables, h, w,
-                lwindow=3, memory_size=2,
-                output_scales=(0, 2), output_dtype=jnp.bfloat16,
-            )
-            wfps = _time_streaming(
-                wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
-            )
-            extras["streaming_pallas_warp_fps"] = round(wfps, 3)
-            # same program, fetch pipelined one frame deep: compute (~27 ms
-            # window) overlaps the ~30 ms relay fetch — the serving
-            # throughput ceiling of this build environment
-            wpfps = _time_streaming(
-                wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS,
-                pipeline=True,
-            )
-            extras["streaming_pallas_warp_pipelined_fps"] = round(wpfps, 3)
-            wrunner = None  # noqa: F841
-        except Exception as e:
-            extras["pallas_warp_error"] = f"{type(e).__name__}: {e}"[:120]
+    # ---- online streaming with the Pallas lane-gather warps ---------------
+    # same strict fetch-per-frame protocol as the headline streaming number,
+    # so (this - streaming_fps) isolates the warp-kernel win in the
+    # latency-critical serving path. NOT under ESTDEPTH_BENCH_PALLAS: that
+    # gate controls the (known-tied) fused-attention variant only.
+    try:
+        wrunner = ESTMRunner(
+            model.clone(pallas_warp=True), variables, h, w,
+            lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        wfps = _time_streaming(
+            wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
+        )
+        extras["streaming_pallas_warp_fps"] = round(wfps, 3)
+        # same program, fetch pipelined one frame deep: compute (~27 ms
+        # window) overlaps the ~30 ms relay fetch — the serving
+        # throughput ceiling of this build environment
+        wpfps = _time_streaming(
+            wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS,
+            pipeline=True,
+        )
+        extras["streaming_pallas_warp_pipelined_fps"] = round(wpfps, 3)
+        wrunner = None  # noqa: F841
+    except Exception as e:
+        extras["pallas_warp_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- serving variants -------------------------------------------------
     try:

@@ -136,7 +136,9 @@ class PackedConv3D(nn.Module):
             if self.use_bias else None
         )
         p = choose_pack(self.features, x.shape[3]) if kw % 2 == 1 else 1
-        dtype = self.dtype or x.dtype
+        # nn.Conv's dtype=None rule: promote input with the f32 params, so
+        # a bf16 input runs an f32 conv (not a silent bf16 downcast)
+        dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
         return lane_packed_conv3d(
             x.astype(dtype), k.astype(dtype), p,
             None if bias is None else bias,

@@ -320,34 +320,33 @@ def _frustum_impl(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _frustum_diff(depth_min, depth_interval, volume, t, cam_intr,
-                  depth_values, grid, x, y, z):
-    del z
+                  depth_values, grid, x, y):
     return _frustum_impl(volume, t, cam_intr, depth_values, depth_min,
                          depth_interval, grid, x, y)
 
 
 def _frustum_diff_fwd(depth_min, depth_interval, volume, t, cam_intr,
-                      depth_values, grid, x, y, z):
+                      depth_values, grid, x, y):
     out = _frustum_impl(volume, t, cam_intr, depth_values, depth_min,
                         depth_interval, grid, x, y)
-    return out, (volume, t, cam_intr, depth_values, grid, x, y, z)
+    return out, (volume, t, cam_intr, depth_values, grid, x, y)
 
 
 def _frustum_diff_bwd(depth_min, depth_interval, res, ct):
     from estdepth_tpu.ops.warp import _frustum_warp_planemix
 
-    volume, t, cam_intr, depth_values, grid, x, y, z = res
+    volume, t, cam_intr, depth_values, grid, x, y = res
     _, vjp = jax.vjp(
         lambda v: _frustum_warp_planemix(
             v, t, cam_intr, depth_values, depth_min, depth_interval,
-            grid, x, y, z,
+            grid, x, y,
         ),
         volume,
     )
     (dvol,) = vjp(ct)
     zl = jnp.zeros_like
     return (dvol, zl(t), zl(cam_intr), zl(depth_values), zl(grid),
-            zl(x), zl(y), zl(z))
+            zl(x), zl(y))
 
 
 _frustum_diff.defvjp(_frustum_diff_fwd, _frustum_diff_bwd)
@@ -355,11 +354,11 @@ _frustum_diff.defvjp(_frustum_diff_fwd, _frustum_diff_bwd)
 
 def frustum_warp_pallas(
     volume, t, cam_intr, depth_values, depth_min: float,
-    depth_interval: float, grid, x, y, z,
+    depth_interval: float, grid, x, y,
 ) -> jnp.ndarray:
     """Differentiable entry: Pallas forward, plane-mix-VJP backward."""
     return _frustum_diff(float(depth_min), float(depth_interval), volume,
-                         t, cam_intr, depth_values, grid, x, y, z)
+                         t, cam_intr, depth_values, grid, x, y)
 
 
 def _psweep_impl(

@@ -109,7 +109,6 @@ def _frustum_warp_planemix(
     grid: jnp.ndarray,       # [3, H*W] homogeneous pixel grid
     x: jnp.ndarray,          # [B, D*H*W] exact source-pixel x (plane-major)
     y: jnp.ndarray,          # [B, D*H*W] exact source-pixel y
-    z: jnp.ndarray,          # [B, D*H*W] exact source depth
 ) -> jnp.ndarray:
     """Two-stage frustum resample: dense z-mix matmul + per-plane 2D gather.
 
@@ -236,20 +235,22 @@ def frustum_warp(
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
 
     if mode == "plane_mix":
-        assert padding_mode == "zeros", "plane_mix supports zeros padding"
+        if padding_mode != "zeros":
+            raise ValueError("plane_mix supports zeros padding only")
         return _frustum_warp_planemix(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
-            grid, x, y, z,
+            grid, x, y,
         )
     if mode == "plane_mix_pallas":
         # plane_mix with every gather on the VPU (lane-gather z-mix +
         # two-pass homography resample, ops/pallas/plane_warp.py)
-        assert padding_mode == "zeros", "plane_mix supports zeros padding"
+        if padding_mode != "zeros":
+            raise ValueError("plane_mix_pallas supports zeros padding only")
         from estdepth_tpu.ops.pallas.plane_warp import frustum_warp_pallas
 
         return frustum_warp_pallas(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
-            grid, x, y, z,
+            grid, x, y,
         )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index

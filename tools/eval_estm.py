@@ -157,6 +157,15 @@ def run_scenes_scan(proc, named_scenes, args, outdir=None):
     if not kept:
         return [], []
 
+    # pad a partial final group to the full --scene-batch width by
+    # repeating the first scene (outputs dropped below): the batched chunk
+    # programs are compiled for B=scene_batch, and a smaller tail group
+    # would recompile both through the remote-compile relay (minutes)
+    n_real = len(kept)
+    batch = list(kept)
+    while len(batch) < args.scene_batch:
+        batch.append(kept[0])
+
     t0 = time.perf_counter()
     results = proc.process_scenes(
         [
@@ -165,12 +174,15 @@ def run_scenes_scan(proc, named_scenes, args, outdir=None):
                 np.stack([f["cam_pose"] for f in frames]).astype(np.float32),
                 frames[0]["cam_intr"],
             )
-            for _, frames in kept
+            for _, frames in batch
         ]
-    )
+    )[:n_real]
     dt = time.perf_counter() - t0
     n_total = sum(len(d) for d in results)
     times = [dt / n_total] * n_total
+    for (scene, _), depths in zip(kept, results):
+        print(f"{scene}: {len(depths)} windows "
+              f"(scan batch of {len(batch)})")
 
     errs = []
     for (scene, frames), depths in zip(kept, results):
@@ -375,7 +387,10 @@ def main():
             times, errs = process(iter(ds), args.outdir, name)
             all_times += times
             all_errs += errs
-            print(f"{name}: {len(times)} frames")
+            if not args.scan:
+                # scan mode reports per scene inside run_scenes_scan (a
+                # queued scene would otherwise misread as "0 frames")
+                print(f"{name}: {len(times)} frames")
 
     if scan_group:  # flush a partial final scene batch
         times, errs = run_scenes_scan(proc, scan_group, args, args.outdir)

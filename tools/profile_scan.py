@@ -23,6 +23,7 @@ import argparse
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -104,7 +105,11 @@ def main():
 
         times = []
         for rep in range(args.reps + 1):
-            xs = gen(jax.random.key(100 * rep + hash(name) % 97))
+            # crc32, not hash(): builtin str hashing is randomized per
+            # interpreter run, which made profile inputs non-reproducible
+            xs = gen(jax.random.key(
+                100 * rep + zlib.crc32(name.encode()) % 97
+            ))
             jax.block_until_ready(xs)
             t0 = time.perf_counter()
             float(prog(xs))  # fetch forces execution
