@@ -387,6 +387,20 @@ def main():
     measure("plane_sweep_pallas_x2", [(2, hq, wq, 32), (2,)], psweep_pallas,
             dtypes=[dt, jnp.float32])
 
+    def frustum4_pallas(v, e):
+        # the TRUE steady-state streaming multiplicity (2 in-window + 2
+        # memory neighbors), for residual attribution of full_step_pallas
+        rel = jnp.tile(jnp.eye(4)[None], (4, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (4, 1, 1)),
+            jnp.tile(dvals[None], (4, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix_pallas",
+        )
+
+    measure("frustum_pallas_x4", [(4, nd, hq, wq, 32), (4,)],
+            frustum4_pallas, dtypes=[dt, jnp.float32])
+
     # ---- FULL window step (what bench's scan mode actually runs) -----------
     # The component sum has never matched the end-to-end window; this
     # measures the whole flagship streaming step — compute_matching on the
