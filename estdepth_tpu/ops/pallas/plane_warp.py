@@ -43,9 +43,17 @@ coefficients degrade gracefully (clamped pass-1, exact-coordinate masking
 still zeroes OOB) but in-bounds values are wrong — tests pin the realistic-
 motion tolerance, and the flag stays opt-in like fast_frustum.
 
-Everything runs in f32: Mosaic's dynamic_gather rejects bf16 on this
-toolchain (reproducible compile-helper crash, probe file above); the
-upcast/downcast rides the XLA layout transposes between kernels.
+Everything runs in f32 lanes — Mosaic's dynamic_gather rejects bf16 on this
+toolchain (reproducible compile-helper crash, probe file above). bf16
+volumes do NOT pay an f32 upcast, though: since bf16 is the TOP HALF of an
+f32 bit pattern, two bf16 channels pack into one int32 lane outside the
+kernels (one XLA bitcast), the lane gathers move int32 bits, and in-kernel
+unpack is a shift + same-width bitcast with the lerp in f32 and a
+round-to-nearest-even integer repack — HALVING every kernel's HBM traffic
+and the inter-kernel transposes vs upcasting. The repack is bit-identical
+to `astype(bfloat16)` of the f32 lerp; the only deviation vs the f32
+kernels is bf16 quantization of the two inter-stage intermediates
+(tests/test_pallas_warp.py pins it).
 """
 
 from __future__ import annotations
@@ -101,57 +109,112 @@ def _corner(q: jnp.ndarray, size: int):
     return i0.astype(jnp.int32), qc - i0
 
 
-def _zmix_kernel(vt_ref, zi_ref, out_ref):
-    # vt [1, N, Z] f32; zi [1, N, D] f32; out [1, N, D]
-    v = vt_ref[0]
-    zi = zi_ref[0]
-    z = v.shape[-1]
-    # epsilon-padded hard OOB zero (homo_utils.py:192; see the matching
-    # note in ops/warp._frustum_warp_planemix — boundary-exact zi must not
-    # be noise-zeroed)
-    valid = (zi >= -1e-3) & (zi <= z - 1.0 + 1e-3)
-    i0, f = _corner(zi, z)
-    g0 = jnp.take_along_axis(v, i0, axis=1)
-    g1 = jnp.take_along_axis(v, i0 + 1, axis=1)
-    out_ref[0] = jnp.where(valid, g0 * (1.0 - f) + g1 * f, 0.0)
+_HI = -65536  # 0xFFFF0000 as int32: the bf16 (top) half of an f32 lane
+# (a plain Python int — a jnp scalar here would be captured as a pallas
+# kernel constant, which pallas_call rejects)
 
 
-def _pass1_kernel(m_ref, ab_ref, j_ref):
-    # m [1, H, C, W] f32; ab [1, 2, W]; j [1, H, C, W]
-    _, hh, cc, ww = m_ref.shape
-    a = ab_ref[0, 0:1]  # [1, W]
-    b = ab_ref[0, 1:2]
-    hrow = jax.lax.broadcasted_iota(
-        jnp.int32, (hh, 1, ww), 0
-    ).astype(jnp.float32)
-    xq = a[None] * hrow + b[None]  # [H, 1, W] row-crossing x per column
-    x0, f = _corner(xq, ww)
-    idx = jnp.broadcast_to(x0, (hh, cc, ww)).reshape(hh * cc, ww)
-    fb = jnp.broadcast_to(f, (hh, cc, ww)).reshape(hh * cc, ww)
-    src = m_ref[0].reshape(hh * cc, ww)
-    g0 = jnp.take_along_axis(src, idx, axis=1)
-    g1 = jnp.take_along_axis(src, idx + 1, axis=1)
-    j_ref[0] = (g0 * (1.0 - fb) + g1 * fb).reshape(hh, cc, ww)
+def _bc(x, dt):
+    """Same-width bit reinterpretation (lowers in Mosaic AND interpret)."""
+    return jax.lax.bitcast_convert_type(x, dt)
 
 
-def _pass2_kernel(jt_ref, yq_ref, xv_ref, out_ref):
-    # jt [1, C, W, H] f32; yq/xv [1, W, Hout]; out [1, C, W, Hout]
-    _, cc, ww, hh = jt_ref.shape
-    yq = yq_ref[0]
-    xv = xv_ref[0]
-    hout = yq.shape[-1]
-    valid = (
-        (yq >= 0.0) & (yq <= hh - 1.0) & (xv >= 0.0) & (xv <= ww - 1.0)
-    )
-    y0, f = _corner(yq, hh)
-    idx = jnp.broadcast_to(y0[None], (cc, ww, hout)).reshape(cc * ww, hout)
-    fb = jnp.broadcast_to(f[None], (cc, ww, hout)).reshape(cc * ww, hout)
-    vb = jnp.broadcast_to(valid[None], (cc, ww, hout)).reshape(cc * ww, hout)
-    src = jt_ref[0].reshape(cc * ww, hh)
-    g0 = jnp.take_along_axis(src, idx, axis=1)
-    g1 = jnp.take_along_axis(src, idx + 1, axis=1)
-    res = g0 * (1.0 - fb) + g1 * fb
-    out_ref[0] = jnp.where(vb, res, 0.0).reshape(cc, ww, hout)
+def _lerp2(g0, g1, f):
+    """Lerp bf16 channel PAIRS packed into int32 lanes, in f32 math.
+
+    bf16 is the top 16 bits of f32, so unpack = shift + same-width bitcast
+    — no 16-bit dtypes in-kernel (Mosaic rejects bf16 dynamic_gather);
+    repack rounds to nearest-even. Bit-identical to `astype(bfloat16)` of
+    the f32 lerp (tests/test_pallas_warp.py::test_packed_lerp_bit_exact).
+    """
+    def unpack(g):
+        return _bc(g << 16, jnp.float32), _bc(g & _HI, jnp.float32)
+
+    def rne_hi(x):  # f32 -> RNE bf16 bits in the top half
+        bits = _bc(x, jnp.int32)
+        lsb = jax.lax.shift_right_logical(bits, 16) & 1
+        return (bits + 0x7FFF + lsb) & _HI
+
+    a0, b0 = unpack(g0)
+    a1, b1 = unpack(g1)
+    ra = a0 * (1.0 - f) + a1 * f
+    rb = b0 * (1.0 - f) + b1 * f
+    return jax.lax.shift_right_logical(rne_hi(ra), 16) | rne_hi(rb)
+
+
+def _lerp1(g0, g1, f):
+    return g0 * (1.0 - f) + g1 * f
+
+
+def _make_zmix_kernel(packed: bool):
+    mix = _lerp2 if packed else _lerp1
+
+    def kernel(vt_ref, zi_ref, out_ref):
+        # vt [1, N, Z] f32|int32; zi [1, N, D] f32; out [1, N, D]
+        v = vt_ref[0]
+        zi = zi_ref[0]
+        z = v.shape[-1]
+        # epsilon-padded hard OOB zero (homo_utils.py:192; see the matching
+        # note in ops/warp._frustum_warp_planemix — boundary-exact zi must
+        # not be noise-zeroed)
+        valid = (zi >= -1e-3) & (zi <= z - 1.0 + 1e-3)
+        i0, f = _corner(zi, z)
+        g0 = jnp.take_along_axis(v, i0, axis=1)
+        g1 = jnp.take_along_axis(v, i0 + 1, axis=1)
+        out_ref[0] = jnp.where(valid, mix(g0, g1, f), 0)
+
+    return kernel
+
+
+def _make_pass1_kernel(packed: bool):
+    mix = _lerp2 if packed else _lerp1
+
+    def kernel(m_ref, ab_ref, j_ref):
+        # m [1, H, C, W] f32|int32; ab [1, 2, W]; j [1, H, C, W]
+        _, hh, cc, ww = m_ref.shape
+        a = ab_ref[0, 0:1]  # [1, W]
+        b = ab_ref[0, 1:2]
+        hrow = jax.lax.broadcasted_iota(
+            jnp.int32, (hh, 1, ww), 0
+        ).astype(jnp.float32)
+        xq = a[None] * hrow + b[None]  # [H, 1, W] row-crossing x per column
+        x0, f = _corner(xq, ww)
+        idx = jnp.broadcast_to(x0, (hh, cc, ww)).reshape(hh * cc, ww)
+        fb = jnp.broadcast_to(f, (hh, cc, ww)).reshape(hh * cc, ww)
+        src = m_ref[0].reshape(hh * cc, ww)
+        g0 = jnp.take_along_axis(src, idx, axis=1)
+        g1 = jnp.take_along_axis(src, idx + 1, axis=1)
+        j_ref[0] = mix(g0, g1, fb).reshape(hh, cc, ww)
+
+    return kernel
+
+
+def _make_pass2_kernel(packed: bool):
+    mix = _lerp2 if packed else _lerp1
+
+    def kernel(jt_ref, yq_ref, xv_ref, out_ref):
+        # jt [1, C, W, H] f32|int32; yq/xv [1, W, Hout]; out [1, C, W, Hout]
+        _, cc, ww, hh = jt_ref.shape
+        yq = yq_ref[0]
+        xv = xv_ref[0]
+        hout = yq.shape[-1]
+        valid = (
+            (yq >= 0.0) & (yq <= hh - 1.0) & (xv >= 0.0) & (xv <= ww - 1.0)
+        )
+        y0, f = _corner(yq, hh)
+        idx = jnp.broadcast_to(y0[None], (cc, ww, hout)).reshape(
+            cc * ww, hout)
+        fb = jnp.broadcast_to(f[None], (cc, ww, hout)).reshape(
+            cc * ww, hout)
+        vb = jnp.broadcast_to(valid[None], (cc, ww, hout)).reshape(
+            cc * ww, hout)
+        src = jt_ref[0].reshape(cc * ww, hh)
+        g0 = jnp.take_along_axis(src, idx, axis=1)
+        g1 = jnp.take_along_axis(src, idx + 1, axis=1)
+        out_ref[0] = jnp.where(vb, mix(g0, g1, fb), 0).reshape(
+            cc, ww, hout)
+
+    return kernel
 
 
 def _line_coeffs(hmat: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -178,22 +241,24 @@ def _line_coeffs(hmat: jnp.ndarray, width: int) -> jnp.ndarray:
     return jnp.stack([a, b], axis=1)
 
 
-def _two_pass(maps_t, ab, yq, xv, planes_per_map: int):
+def _two_pass(maps_t, ab, yq, xv, planes_per_map: int,
+              packed: bool = False):
     """Run K2 + K3 over P = M * planes_per_map output planes.
 
-    maps_t: [M, H, C, W] f32 (pre-transposed source maps)
+    maps_t: [M, H, C, W] f32 — or int32 bf16-pairs when `packed`
     ab:     [P, 2, W] line coefficients
     yq/xv:  [P, W, Hout] exact per-voxel source y / x (for pass-2 + mask)
-    Returns [P, Hout, W, C] f32.
+    Returns [P, Hout, W, C] f32 (int32 bf16-pairs when `packed`).
     """
     m, hh, cc, ww = maps_t.shape
     p = ab.shape[0]
     hout = yq.shape[-1]
     interp = _interpret()
+    dt = jnp.int32 if packed else jnp.float32
 
     j = pl.pallas_call(
-        _pass1_kernel,
-        out_shape=jax.ShapeDtypeStruct((p, hh, cc, ww), jnp.float32),
+        _make_pass1_kernel(packed),
+        out_shape=jax.ShapeDtypeStruct((p, hh, cc, ww), dt),
         grid=(p,),
         in_specs=[
             pl.BlockSpec(
@@ -209,8 +274,8 @@ def _two_pass(maps_t, ab, yq, xv, planes_per_map: int):
     jt = jnp.transpose(j, (0, 2, 3, 1))  # [P, C, W, H]
 
     out = pl.pallas_call(
-        _pass2_kernel,
-        out_shape=jax.ShapeDtypeStruct((p, cc, ww, hout), jnp.float32),
+        _make_pass2_kernel(packed),
+        out_shape=jax.ShapeDtypeStruct((p, cc, ww, hout), dt),
         grid=(p,),
         in_specs=[
             pl.BlockSpec((1, cc, ww, hh), lambda i: (i, 0, 0, 0)),
@@ -261,31 +326,45 @@ def _frustum_impl(
     in_front = (denom > 1e-8) & jnp.isfinite(zi)
     zi = jnp.where(in_front, zi, -2.0)
 
+    # bf16 volumes ride the kernels as int32-packed channel PAIRS (half the
+    # HBM traffic of an f32 upcast, see module doc); f32 volumes unchanged
+    packed = dtype == jnp.bfloat16 and c % 2 == 0
+    c2 = c // 2 if packed else c
+    kdt = jnp.int32 if packed else f32
+
     # ---- K1: z-mix as a lane gather over Z (idx [HW, D] == src [HW, Z]) ---
     zi_t = jnp.transpose(zi, (0, 2, 1))  # [B, HW, D]
-    vt = jnp.transpose(
-        volume.astype(f32).reshape(b, d, h * w, c), (0, 3, 2, 1)
-    ).reshape(b * c, h * w, d)  # [B*C, HW, Z]
+    if packed:
+        vt = _bc(
+            jnp.transpose(
+                volume.reshape(b, d, h * w, c2, 2), (0, 3, 2, 1, 4)
+            ),
+            jnp.int32,
+        ).reshape(b * c2, h * w, d)  # [B*C/2, HW, Z] int32 pairs
+    else:
+        vt = jnp.transpose(
+            volume.astype(f32).reshape(b, d, h * w, c), (0, 3, 2, 1)
+        ).reshape(b * c, h * w, d)  # [B*C, HW, Z]
 
     tile = _row_tile(h * w, d)
     mixed = pl.pallas_call(
-        _zmix_kernel,
-        out_shape=jax.ShapeDtypeStruct((b * c, h * w, d), f32),
-        grid=(b * c, (h * w) // tile),
+        _make_zmix_kernel(packed),
+        out_shape=jax.ShapeDtypeStruct((b * c2, h * w, d), kdt),
+        grid=(b * c2, (h * w) // tile),
         in_specs=[
             pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec(
-                (1, tile, d), lambda i, j, cc=c: (i // cc, j, 0)
+                (1, tile, d), lambda i, j, cc=c2: (i // cc, j, 0)
             ),
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
         interpret=_interpret(),
     )(vt, zi_t)
 
-    # [B*C, HW, D] -> per-plane maps [B*D, H, C, W]
+    # [B*C2, HW, D] -> per-plane maps [B*D, H, C2, W]
     maps_t = jnp.transpose(
-        mixed.reshape(b, c, h, w, d), (0, 4, 2, 1, 3)
-    ).reshape(b * d, h, c, w)
+        mixed.reshape(b, c2, h, w, d), (0, 4, 2, 1, 3)
+    ).reshape(b * d, h, c2, w)
 
     # ---- per-plane homographies -> line coefficients ----------------------
     # target depth plane z_t = dv_d: H_d = dv_d * K R K^-1 + (K t) e3^T
@@ -302,7 +381,9 @@ def _frustum_impl(
         y.astype(f32).reshape(b * d, h, w), (0, 2, 1)
     )  # [B*D, W, Hout]
     xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
-    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=1)
+    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=1, packed=packed)
+    if packed:  # [P, Hout, W, C2] int32 -> [..., C2, 2] bf16 -> channels
+        return _bc(out, jnp.bfloat16).reshape(b, d, h, w, c)
     return out.reshape(b, d, h, w, c).astype(dtype)
 
 
@@ -387,10 +468,22 @@ def _psweep_impl(
     hmat = hmat.at[:, :, :, 2].add(trans.astype(f32)[:, None, :])
     ab = _line_coeffs(hmat.reshape(b * d, 3, 3), w)
 
-    maps_t = jnp.transpose(src_feat.astype(f32), (0, 1, 3, 2))  # [B,H,C,W]
+    packed = dtype == jnp.bfloat16 and c % 2 == 0
+    if packed:  # int32 bf16-pair lanes (see module doc)
+        maps_t = _bc(
+            jnp.transpose(
+                src_feat.reshape(b, h, w, c // 2, 2), (0, 1, 3, 2, 4)
+            ),
+            jnp.int32,
+        )  # [B, H, C/2, W]
+    else:
+        maps_t = jnp.transpose(
+            src_feat.astype(f32), (0, 1, 3, 2))  # [B,H,C,W]
     yq = jnp.transpose(y.astype(f32).reshape(b * d, h, w), (0, 2, 1))
     xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
-    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=d)
+    out = _two_pass(maps_t, ab, yq, xv, planes_per_map=d, packed=packed)
+    if packed:
+        return _bc(out, jnp.bfloat16).reshape(b, d, h, w, c)
     return out.reshape(b, d, h, w, c).astype(dtype)
 
 

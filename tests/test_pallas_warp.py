@@ -116,10 +116,12 @@ def test_plane_sweep_pallas_matches_xla(setup):
         )
 
 
-def test_model_pallas_warp_end_to_end():
+@pytest.mark.parametrize("dtype", [None, jnp.bfloat16])
+def test_model_pallas_warp_end_to_end(dtype):
     """DepthNetHybrid(pallas_warp=True) produces depth maps close to the
     plane-mix model's — the full decoder path (EST memory warps + cost
-    volumes) runs through the kernels."""
+    volumes) runs through the kernels. The bf16 variant exercises the
+    int32-packed kernels (what bench's flagship config runs)."""
     from estdepth_tpu.data.synthetic import (
         SyntheticSceneConfig, synthetic_stream,
     )
@@ -129,7 +131,7 @@ def test_model_pallas_warp_end_to_end():
     h, w, nd = 64, 96, 16
     base = dict(
         ndepths=nd, depth_min=0.5, depth_max=5.0, resnet=18,
-        est_transformer=True,
+        est_transformer=True, dtype=dtype,
     )
     model_pm = DepthNetHybrid(**base, fast_frustum=True)
     model_pl = DepthNetHybrid(**base, pallas_warp=True)
@@ -144,18 +146,19 @@ def test_model_pallas_warp_end_to_end():
     variables = jax.jit(
         lambda r: model_pm.init(r, imgs, poses, intr, train=False)
     )(jax.random.key(0))
-    mem = ESTMemory.create(1, 2, nd, h // 4, w // 4, 16)
+    mdt = dtype or jnp.float32
+    mem = ESTMemory.create(1, 2, nd, h // 4, w // 4, 16, dtype=mdt)
     mem = mem.replace(
         keys=jnp.asarray(
             np.random.default_rng(3).normal(
                 size=mem.keys.shape
             ).astype(np.float32) * 0.2
-        ),
+        ).astype(mdt),
         values=jnp.asarray(
             np.random.default_rng(4).normal(
                 size=mem.values.shape
             ).astype(np.float32) * 0.2
-        ),
+        ).astype(mdt),
         poses=jnp.tile(poses[:, :1], (1, 2, 1, 1)),
         valid=jnp.ones((1, 2), bool),
     )
@@ -164,10 +167,88 @@ def test_model_pallas_warp_end_to_end():
                                use_est=True, train=False)
     out_pl, _ = model_pl.apply(variables, imgs, poses, intr, memory=mem,
                                use_est=True, train=False)
-    d_pm = np.asarray(out_pm["depth"][:, 0, 0])
-    d_pl = np.asarray(out_pl["depth"][:, 0, 0])
-    assert np.abs(d_pl - d_pm).mean() < 5e-3
-    assert np.abs(d_pl - d_pm).max() < 0.2
+    d_pm = np.asarray(out_pm["depth"][:, 0, 0], np.float32)
+    d_pl = np.asarray(out_pl["depth"][:, 0, 0], np.float32)
+    # bf16 runs the packed kernels AND quantizes both models' activations;
+    # allow the correspondingly looser (still sub-percent-of-range) gap
+    mean_tol, max_tol = (1e-2, 0.3) if dtype else (5e-3, 0.2)
+    assert np.abs(d_pl - d_pm).mean() < mean_tol
+    assert np.abs(d_pl - d_pm).max() < max_tol
+
+
+def test_packed_lerp_bit_exact():
+    """_lerp2 (bf16 pairs packed in int32 lanes, f32 math, RNE repack) is
+    BIT-identical to astype(bfloat16) of the f32 lerp — the packed kernels'
+    only deviation from the f32 kernels is therefore the bf16 quantization
+    of the inter-stage intermediates, nothing else."""
+    import jax
+    from estdepth_tpu.ops.pallas.plane_warp import _lerp2
+
+    rng = np.random.default_rng(5)
+    vals = rng.normal(size=(256, 64, 2)).astype(np.float32) * 3.0
+    pair = jnp.asarray(vals).astype(jnp.bfloat16)
+    packed = jax.lax.bitcast_convert_type(pair, jnp.int32)
+    f = jnp.asarray(rng.uniform(0, 1, size=(256, 64)).astype(np.float32))
+
+    got = jax.lax.bitcast_convert_type(
+        _lerp2(packed, packed[::-1], f), jnp.bfloat16
+    )
+    want = (
+        pair.astype(jnp.float32) * (1.0 - f[..., None])
+        + pair[::-1].astype(jnp.float32) * f[..., None]
+    ).astype(jnp.bfloat16)
+    assert np.array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_frustum_pallas_bf16_packed_matches_f32_kernels(setup):
+    """A bf16 volume dispatches the int32-packed kernels; vs the f32
+    kernels on the SAME (bf16-quantized) volume the only extra error is
+    bf16 rounding of the two inter-stage intermediates."""
+    _, vol, intr, dvals, dmin, dint = setup
+    vol_bf = vol.astype(jnp.bfloat16)
+    for rel in POSES:
+        pf = frustum_warp(vol_bf.astype(jnp.float32), rel, intr, dvals,
+                          dmin, dint, mode="plane_mix_pallas")
+        pb = frustum_warp(vol_bf, rel, intr, dvals, dmin, dint,
+                          mode="plane_mix_pallas")
+        assert pb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(pb, np.float32), np.asarray(pf), atol=6e-2, rtol=0.0
+        )
+    # OOB zeroing holds for the packed masks too
+    allout = frustum_warp(vol_bf, _pose(tx=1e3), intr, dvals, dmin, dint,
+                          mode="plane_mix_pallas")
+    assert float(jnp.max(jnp.abs(allout.astype(jnp.float32)))) == 0.0
+
+
+def test_plane_sweep_pallas_bf16_packed_matches_f32_kernels(setup):
+    rng, _, intr, dvals, _, _ = setup
+    b, h, w, c = 1, 16, 20, 8
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    feat_bf = feat.astype(jnp.bfloat16)
+    ref_proj = geometry.camera_projection(intr, _pose())
+    for rel in [_pose(tx=0.05), POSES[3]]:
+        src_proj = geometry.camera_projection(intr, rel)
+        pf = plane_sweep_warp(feat_bf.astype(jnp.float32), src_proj,
+                              ref_proj, dvals, backend="pallas")
+        pb = plane_sweep_warp(feat_bf, src_proj, ref_proj, dvals,
+                              backend="pallas")
+        assert pb.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(pb, np.float32), np.asarray(pf), atol=4e-2, rtol=0.0
+        )
+
+
+def test_frustum_pallas_bf16_odd_channels_fallback(setup):
+    """Odd channel counts can't pair-pack; the f32 kernel path must serve
+    them (still returning the volume dtype)."""
+    _, vol, intr, dvals, dmin, dint = setup
+    vol7 = vol[..., :7].astype(jnp.bfloat16)
+    out = frustum_warp(vol7, POSES[1], intr, dvals, dmin, dint,
+                       mode="plane_mix_pallas")
+    assert out.dtype == jnp.bfloat16 and out.shape == vol7.shape
 
 
 def test_frustum_pallas_grad_matches_planemix(setup):

@@ -217,6 +217,90 @@ def main():
     mp = jnp.asarray(rng.normal(size=(64, hh, cc, ww)).astype(np.float32))
     timed("pallas pass1-grid64 (full warp) f32", run_pass1v_grid2, mp, a, b)
 
+    # ---- bf16-PAIR packing probe: int32 lane gather + in-kernel bitcast ---
+    # Mosaic rejects bf16 dynamic_gather, but bf16 is the TOP HALF of f32:
+    # pack two bf16 channels into one int32 lane outside the kernel
+    # (lax.bitcast_convert_type of a [..., 2] bf16 pair), gather int32,
+    # unpack in-kernel with shift + same-width bitcast, lerp in f32, repack
+    # with round-to-nearest-even integer math. Halves every warp kernel's
+    # HBM traffic IF Mosaic accepts (a) int32 dynamic_gather and
+    # (b) in-kernel i32<->f32 bitcasts. This probe tests exactly that.
+    def packed_gather_kernel(src_ref, idx_ref, f_ref, out_ref):
+        g0 = jnp.take_along_axis(src_ref[:], idx_ref[:], axis=-1)
+        g1 = jnp.take_along_axis(src_ref[:], idx_ref[:] + 1, axis=-1)
+        f = f_ref[:]
+
+        def unpack(g):
+            lo = pltpu.bitcast(g << 16, jnp.float32)
+            hi = pltpu.bitcast(g & jnp.int32(-65536), jnp.float32)
+            return lo, hi
+
+        def rne16(x):  # f32 -> bf16 bits in the TOP half, RNE
+            bits = pltpu.bitcast(x, jnp.int32)
+            lsb = jax.lax.shift_right_logical(bits, 16) & 1
+            return (bits + 0x7FFF + lsb) & jnp.int32(-65536)
+
+        a0, b0 = unpack(g0)
+        a1, b1 = unpack(g1)
+        ra = a0 * (1.0 - f) + a1 * f
+        rb = b0 * (1.0 - f) + b1 * f
+        out_ref[:] = jax.lax.shift_right_logical(rne16(ra), 16) | rne16(rb)
+
+    def run_packed(src32, idx, f):
+        return pl.pallas_call(
+            packed_gather_kernel,
+            out_shape=jax.ShapeDtypeStruct(src32.shape, jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(src32, idx, f)
+
+    s, l = 5120, 64
+    vals = rng.normal(size=(s, l, 2)).astype(np.float32)
+    src_bf = jnp.asarray(vals).astype(jnp.bfloat16)  # [S, L, 2] ch pair
+    # pack: [S, L, 2] bf16 -> [S, L] int32 (lo half = ch0, hi half = ch1)
+    src32 = jax.lax.bitcast_convert_type(src_bf, jnp.int32)
+    idx = jnp.asarray(rng.integers(0, l - 1, size=(s, l)).astype(np.int32))
+    f = jnp.asarray(rng.uniform(0, 1, size=(s, l)).astype(np.float32))
+
+    dt_packed = timed(f"pallas PACKED bf16-pair [{s},{l}]", run_packed,
+                      src32, idx, f)
+    if dt_packed is not None:
+        # correctness vs the f32 reference lerp, bf16-rounded
+        out32 = run_packed(src32, idx, f)
+        out_bf = jax.lax.bitcast_convert_type(out32, jnp.bfloat16)
+        ref = np.asarray(src_bf, np.float32)
+        i = np.asarray(idx)
+        fn = np.asarray(f)
+        rows = np.arange(s)[:, None]
+        g0 = ref[rows, i]          # [S, L, 2]
+        g1 = ref[rows, i + 1]
+        want = g0 * (1 - fn[..., None]) + g1 * fn[..., None]
+        got = np.asarray(out_bf, np.float32)
+        # out32 lo half = ch0 -> bitcast [S, L, 2] maps ch0 to [..., 0]
+        err = np.abs(got - want.astype(np.float32))
+        rel = err / (np.abs(want) + 1e-3)
+        print(f"  packed-gather correctness: max abs err "
+              f"{err.max():.5f}, max rel {rel.max():.5f} "
+              f"(bf16 ulp ~ 0.0078 rel)")
+
+    # matched-shape f32 comparison: TWO unpacked gathers over the same
+    # logical data (what the packed kernel replaces)
+    def two_gather_kernel(s_ref, i_ref, f_ref, o_ref):
+        g0 = jnp.take_along_axis(s_ref[:], i_ref[:], axis=-1)
+        g1 = jnp.take_along_axis(s_ref[:], i_ref[:] + 1, axis=-1)
+        o_ref[:] = g0 * (1.0 - f_ref[:]) + g1 * f_ref[:]
+
+    def run_two(srcf, idx, f):
+        return pl.pallas_call(
+            two_gather_kernel,
+            out_shape=jax.ShapeDtypeStruct(srcf.shape, jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(srcf, idx, f)
+
+    srcf2 = jnp.asarray(vals[..., 0])  # one f32 channel, same [S, L]
+    timed(f"pallas f32 single-ch  [{s},{l}]", run_two, srcf2, idx, f)
+
 
 if __name__ == "__main__":
     main()
