@@ -48,6 +48,8 @@ def main():
                     help="timed repetitions (plus one untimed compile rep)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated component names")
+    ap.add_argument("--grads", action="store_true",
+                    help="also run the train-backward decomposition probes")
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--ndepths", type=int, default=64)
@@ -517,6 +519,140 @@ def main():
                 lambda x: model.apply(
                     variables, x, False,
                     method=lambda m, i, tr: m.semantic_feature(i, tr)))
+
+    # ---- train-backward decomposition (--grads) ----------------------------
+    # The flagship train step (V=5, B=1, bf16) measures 700-820 ms but has
+    # never been attributed per-op; ARCHITECTURE.md's "conv3d-backward
+    # dominated" claim rests on OOM evidence, not timing. These probes time
+    # forward+backward (d loss / d params AND d inputs — what the step's
+    # backward computes) of each hot component at the TRAIN multiplicities:
+    # V=5 window -> 3 targets, 6 (target, neighbor) pairs, 5 matching
+    # frames, 3 semantic frames. Train-mode BN (batch statistics on the
+    # fwd path, their reductions on the bwd path), like the real step.
+    if args.grads:
+        def sumabs(out):
+            return sum(
+                jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                for l in jax.tree_util.tree_leaves(out)
+            )
+
+        def gradify(apply_fn, params):
+            """fn(*xs) computing d(sumabs(apply_fn(params, *xs)))/d(params,
+            xs): weights ride the closure (constant across scan iterations,
+            like the model's), inputs are fresh per iteration."""
+            def fn(*xs):
+                def loss(p, *ys):
+                    return sumabs(apply_fn(p, *ys))
+                return jax.grad(
+                    loss, argnums=tuple(range(1 + len(xs)))
+                )(params, *xs)
+            return fn
+
+        def train_apply(mod):
+            # train-mode BN: batch stats on the forward, running-stat
+            # updates discarded (they don't affect the loss)
+            def ap(p, x):
+                y, _ = mod.apply(p, x, True, mutable=["batch_stats"])
+                return y
+            return ap
+
+        # encoders at their train frame counts
+        measure("g_psm_5f", [(5, h, w, 3)],
+                gradify(train_apply(psm), psm_v))
+        measure("g_resnet50_3f", [(3, h, w, 3)],
+                gradify(lambda p, x: res.apply(
+                    p, x, mutable=["batch_stats"])[0], res_v))
+
+        # cost-volume pre stack: 6 pair volumes (3 targets x 2 neighbors)
+        def prestack_train(p, x):
+            pv0_, pv1_, pv2_ = p
+            y, _ = pre0.apply(pv0_, x, True, mutable=["batch_stats"])
+            z, _ = pre1.apply(pv1_, y, True, mutable=["batch_stats"])
+            z, _ = pre2.apply(pv2_, z, True, mutable=["batch_stats"])
+            return y + z
+        measure("g_prestack_x6", [(6, nd, hq, wq, 64)],
+                gradify(prestack_train, (pv0, pv1, pv2)))
+
+        # 3D regularization chains at 3 targets
+        def dres_train(p, x):
+            for _ in range(4):
+                x, _ = c32.apply(p, x, True, mutable=["batch_stats"])
+            return x
+        measure("g_dres_chain_x3", [(3, nd, hq, wq, 32)],
+                gradify(dres_train, c32v))
+
+        def tail3d_train(p, x):
+            c33v_, kv16v_, headv_ = p
+            x, _ = c33.apply(c33v_, x, True, mutable=["batch_stats"])
+            key, _ = kv16.apply(kv16v_, x, True, mutable=["batch_stats"])
+            val, _ = kv16.apply(kv16v_, x, True, mutable=["batch_stats"])
+            hd, _ = head.apply(headv_, val, True, mutable=["batch_stats"])
+            return hd, key
+        measure("g_dres2_kv_head0_x3", [(3, nd, hq, wq, 33)],
+                gradify(tail3d_train, (c33v, kv16v, headv)))
+
+        # warps at train multiplicity: 6 in-window frustum warps (3 targets
+        # x 2 neighbors; training never uses memory), 6 plane sweeps
+        def frustum6_mode(mode):
+            def fn(v, e):
+                rel = jnp.tile(jnp.eye(4)[None], (6, 1, 1)).at[:, 0, 3].add(
+                    0.05 + 0.01 * e.astype(jnp.float32))
+                out = frustum_warp(
+                    v, rel, jnp.tile(intr_q[None], (6, 1, 1)),
+                    jnp.tile(dvals[None], (6, 1)), 0.01, 10.0 / (nd - 1),
+                    mode=mode,
+                )
+                return out
+            def g(v, e):
+                return jax.grad(lambda vv: sumabs(fn(vv, e)))(v)
+            return g
+
+        for mode in ("exact", "plane_mix", "plane_mix_pallas"):
+            measure(f"g_frustum_x6_{mode}", [(6, nd, hq, wq, 32), (6,)],
+                    frustum6_mode(mode), dtypes=[dt, jnp.float32])
+
+        def psweep6_grad(f, e):
+            def fn(ff):
+                proj = jnp.tile(jnp.eye(4)[None], (6, 1, 1)).at[
+                    :, 0, 3].add(0.05 + 0.01 * e.astype(jnp.float32))
+                return plane_sweep_warp(
+                    ff, proj, jnp.tile(jnp.eye(4)[None], (6, 1, 1)),
+                    jnp.tile(dvals[None], (6, 1)),
+                )
+            return jax.grad(lambda ff: sumabs(fn(ff)))(f)
+        measure("g_plane_sweep_x6", [(6, hq, wq, 32), (6,)], psweep6_grad,
+                dtypes=[dt, jnp.float32])
+
+        # GRU + head1 and the 2D refinement at 3 targets
+        def gru_train(p, xh_pair):
+            gv_, ov_, headv_ = p
+            x, hh2 = xh_pair
+            xh = jnp.concatenate([x, hh2], axis=-1)
+            g = gate.apply(gv_, xh)
+            r, u = jax.nn.sigmoid(g[..., :16]), jax.nn.sigmoid(g[..., 16:])
+            o = outc.apply(ov_, jnp.concatenate([x, r * hh2], axis=-1))
+            y = jnp.tanh(o)
+            fused = u * hh2 + (1 - u) * y
+            hd, _ = head.apply(headv_, fused, True, mutable=["batch_stats"])
+            return hd
+        measure("g_gru_head1_x3", [(3, nd, hq, wq, 16), (3, nd, hq, wq, 16)],
+                gradify(lambda p, x, hh2: gru_train(p, (x, hh2)),
+                        (gv, ov, headv)))
+
+        def refine_train(p, sem, skip0):
+            from estdepth_tpu.models.layers import upsample_nearest
+            u10_, u11_, u00_, u01_, dv1_ = p
+            x, _ = up10.apply(u10_, sem, True, mutable=["batch_stats"])
+            x = jnp.concatenate([upsample_nearest(x), skip0], axis=-1)
+            x, _ = up11.apply(u11_, x, True, mutable=["batch_stats"])
+            d1 = jax.nn.sigmoid(disp.apply(dv1_, x).astype(jnp.float32))
+            x, _ = up00.apply(u00_, x, True, mutable=["batch_stats"])
+            x = upsample_nearest(x)
+            x, _ = up01.apply(u01_, x, True, mutable=["batch_stats"])
+            return d1, x
+        measure("g_refine_2d_x3",
+                [(3, hq, wq, 128), (3, h // 2, w // 2, 64)],
+                gradify(refine_train, (u10v, u11v, u00v, u01v, dv1)))
 
     # ---- lane-packed conv experiments -------------------------------------
     k32 = jnp.asarray(rng.normal(size=(3, 3, 3, 32, 32)).astype(np.float32)
