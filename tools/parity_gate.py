@@ -68,13 +68,17 @@ def parse_args():
                         "pose pairing instead of strict reference parity "
                         "(measures the documented deviation, not the gate)")
     p.add_argument("--json", type=str, default=None)
-    p.add_argument("--variant", choices=["exact", "plane_mix", "pallas"],
+    p.add_argument("--variant",
+                   choices=["exact", "plane_mix", "pallas", "pallas_bf16"],
                    default="exact",
                    help="warp backend for OUR side: 'exact' is the "
                         "reference-faithful default; 'plane_mix' / "
                         "'pallas' gate the fast eval paths' end-metric "
                         "drift against the actual reference (the gate "
-                        "then measures approximation + float error)")
+                        "then measures approximation + float error); "
+                        "'pallas_bf16' additionally runs OUR model in "
+                        "bfloat16, exercising the int32-packed kernels — "
+                        "the flagship bench configuration")
     return p.parse_args()
 
 
@@ -126,7 +130,8 @@ def main():
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
         fast_frustum=args.variant == "plane_mix",
-        pallas_warp=args.variant == "pallas",
+        pallas_warp=args.variant.startswith("pallas"),
+        dtype=jnp.bfloat16 if args.variant == "pallas_bf16" else None,
     )
     if args.ckpt:
         variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)
