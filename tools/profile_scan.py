@@ -639,6 +639,45 @@ def main():
                 gradify(lambda p, x, hh2: gru_train(p, (x, hh2)),
                         (gv, ov, headv)))
 
+        # conv3d backward restructuring experiment: a 3x3x3 conv is EXACTLY
+        # the sum of three depth-shifted 3x3 conv2ds over [B*D, H, W, C] —
+        # XLA's conv3d backward materializes {C-minor, batch-sublane}
+        # padded temps (the train-step HBM/time problem, ARCHITECTURE.md
+        # headroom #1); the 2D form gives it a large (B*D) batch whose
+        # sublane dim never pads. Same FLOPs, same math — if its backward
+        # is faster/leaner this is the drop-in fix for the 3D stack.
+        k2 = jnp.asarray(
+            rng.normal(size=(3, 3, 3, 32, 32)).astype(np.float32)
+        ).astype(dt) * 0.1
+
+        def conv3d_plain(x):
+            return jax.lax.conv_general_dilated(
+                x, k2, (1, 1, 1), [(1, 1)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )
+
+        def conv3d_as2d(x):
+            bb, dd2, hh2, ww2, cc2 = x.shape
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            out = 0.0
+            for i in range(3):
+                xi = jax.lax.dynamic_slice_in_dim(xp, i, dd2, 1).reshape(
+                    bb * dd2, hh2, ww2, cc2)
+                out = out + jax.lax.conv_general_dilated(
+                    xi, k2[i], (1, 1), [(1, 1)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            return out.reshape(bb, dd2, hh2, ww2, -1)
+
+        def gradded(fn):
+            return lambda x: jax.grad(lambda v: sumabs(fn(v)))(x)
+
+        measure("g_conv32_3d_x3", [(3, nd, hq, wq, 32)],
+                gradded(conv3d_plain))
+        measure("g_conv32_as2d_x3", [(3, nd, hq, wq, 32)],
+                gradded(conv3d_as2d))
+        measure("conv32_as2d_fwd", [(1, nd, hq, wq, 32)], conv3d_as2d)
+
         def refine_train(p, sem, skip0):
             from estdepth_tpu.models.layers import upsample_nearest
             u10_, u11_, u00_, u01_, dv1_ = p
