@@ -138,15 +138,23 @@ def main():
     import subprocess
     import sys
     for attempt in range(10):
+        # NEVER SIGKILL a hung probe: a kill -9'd TPU process can wedge the
+        # chip claim (CLAUDE.md), making the next probe hang too. SIGTERM
+        # with a grace period lets the child release its claim.
+        p = subprocess.Popen(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180, capture_output=True,
-            )
-            if r.returncode == 0:
+            if p.wait(timeout=180) == 0:
                 break
         except subprocess.TimeoutExpired:
-            pass
+            p.terminate()
+            try:
+                p.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
         if attempt == 9:
             print("WARNING: backend still unavailable after 10 probes; "
                   "proceeding anyway", file=sys.stderr, flush=True)

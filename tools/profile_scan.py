@@ -186,11 +186,14 @@ def main():
     kv16v = init_mod(kv16, (1, nd, hq, wq, 33))
     head = StereoHead(16, dtype=dt)
     headv = init_mod(head, (1, nd, hq, wq, 16))
+    kv16vb = jax.tree.map(lambda a: a * 1.003, kv16v)
 
     def tail3d(x):
         x = c33.apply(c33v, x, False)                    # dres2
         key = kv16.apply(kv16v, x, False)
-        val = kv16.apply(kv16v, x, False)                # value_layer
+        # value_layer with DISTINCT weights — identical params would be
+        # CSE'd into one conv and under-measure the stage
+        val = kv16.apply(kv16vb, x, False)
         return head.apply(headv, val, False), key
 
     measure("dres2_kv_head0", [(1, nd, hq, wq, 33)], tail3d)
@@ -561,7 +564,7 @@ def main():
                 gradify(train_apply(psm), psm_v))
         measure("g_resnet50_3f", [(3, h, w, 3)],
                 gradify(lambda p, x: res.apply(
-                    p, x, mutable=["batch_stats"])[0], res_v))
+                    p, x, True, mutable=["batch_stats"])[0], res_v))
 
         # cost-volume pre stack: 6 pair volumes (3 targets x 2 neighbors)
         def prestack_train(p, x):
@@ -582,14 +585,17 @@ def main():
                 gradify(dres_train, c32v))
 
         def tail3d_train(p, x):
-            c33v_, kv16v_, headv_ = p
+            c33v_, kv16v_, kv16v2_, headv_ = p
             x, _ = c33.apply(c33v_, x, True, mutable=["batch_stats"])
             key, _ = kv16.apply(kv16v_, x, True, mutable=["batch_stats"])
-            val, _ = kv16.apply(kv16v_, x, True, mutable=["batch_stats"])
+            # DISTINCT weights for value_layer: identical params would let
+            # XLA CSE the two convs into one and under-measure the stage
+            val, _ = kv16.apply(kv16v2_, x, True, mutable=["batch_stats"])
             hd, _ = head.apply(headv_, val, True, mutable=["batch_stats"])
             return hd, key
+        kv16v2 = jax.tree.map(lambda a: a * 1.003, kv16v)
         measure("g_dres2_kv_head0_x3", [(3, nd, hq, wq, 33)],
-                gradify(tail3d_train, (c33v, kv16v, headv)))
+                gradify(tail3d_train, (c33v, kv16v, kv16v2, headv)))
 
         # warps at train multiplicity: 6 in-window frustum warps (3 targets
         # x 2 neighbors; training never uses memory), 6 plane sweeps
