@@ -73,13 +73,15 @@ class ConvBNRelu3D(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     lane_pack: bool = False
+    conv3d_as2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         return ConvBN(
             self.features, (self.kernel,) * 3, 1, act=self.act,
             bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            lane_pack=self.lane_pack, name="conv",
+            lane_pack=self.lane_pack, conv3d_as2d=self.conv3d_as2d,
+            name="conv",
         )(x, train)
 
 
@@ -90,12 +92,14 @@ class StereoHead(nn.Module):
     bn_axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     lane_pack: bool = False
+    conv3d_as2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNRelu3D(
             self.channels, 3, bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-            lane_pack=self.lane_pack, name="conv0",
+            lane_pack=self.lane_pack, conv3d_as2d=self.conv3d_as2d,
+            name="conv0",
         )(x, train)
         if self.lane_pack:
             from estdepth_tpu.models.layers import PackedConv3D
@@ -140,6 +144,10 @@ class DepthHybridDecoder(nn.Module):
     # evaluate the 3D stack's convs lane-packed (ops/packed_conv.py) —
     # exact same arithmetic, ~2x MXU output-lane utilization
     lane_pack: bool = False
+    # evaluate the 3D stack's convs as depth-shifted conv2ds
+    # (layers.Decomp3DConv) — exact same arithmetic, sidesteps the conv3d
+    # BACKWARD's {C-minor, batch-sublane} padded gradient temps
+    conv3d_as2d: bool = False
     # route EST memory warps through frustum_warp(mode="plane_mix") — the
     # measured-fast z-mix-matmul + 2D-gather reformulation (ops/warp.py);
     # sub-plane-spacing deviation from the exact trilinear, so default off
@@ -169,7 +177,8 @@ class DepthHybridDecoder(nn.Module):
         self.dispconv_0 = nn.Conv(1, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype)
 
         bc = self.base_channels
-        kw3 = dict(kw, lane_pack=self.lane_pack)
+        kw3 = dict(kw, lane_pack=self.lane_pack,
+                   conv3d_as2d=self.conv3d_as2d)
         self.dres0_0 = ConvBNRelu3D(bc, **kw3)
         self.dres0_1 = ConvBNRelu3D(bc, **kw3)
         self.dres1_0 = ConvBNRelu3D(bc, **kw3)
@@ -185,6 +194,7 @@ class DepthHybridDecoder(nn.Module):
                 use_pallas=self.use_pallas_attention,
                 pallas_interpret=self.pallas_interpret,
                 lane_pack=self.lane_pack,
+                conv3d_as2d=self.conv3d_as2d,
             )
 
     def _semantic_unet(self, feats: List[jnp.ndarray], train: bool):

@@ -41,6 +41,9 @@ class EpipolarTransformer(nn.Module):
     pallas_interpret: bool = False  # set for CPU tests
     # lane-packed GRU convs (ops/packed_conv.py): exact, ~2x MXU fill
     lane_pack: bool = False
+    # GRU convs as depth-shifted conv2ds (layers.Decomp3DConv): exact,
+    # sidesteps the conv3d backward's padded gradient temps
+    conv3d_as2d: bool = False
 
     @nn.compact
     def __call__(
@@ -84,7 +87,15 @@ class EpipolarTransformer(nn.Module):
         else:
             h = jnp.zeros_like(target_value)
 
-        if self.lane_pack:
+        if self.conv3d_as2d:
+            from estdepth_tpu.models.layers import Decomp3DConv
+
+            def conv3(features, name):
+                return Decomp3DConv(
+                    features, (3, 3, 3), use_bias=True, dtype=self.dtype,
+                    kernel_init=nn.initializers.lecun_normal(), name=name,
+                )
+        elif self.lane_pack:
             from estdepth_tpu.models.layers import PackedConv3D
 
             def conv3(features, name):

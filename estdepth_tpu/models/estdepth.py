@@ -83,6 +83,12 @@ class DepthNetHybrid(nn.Module):
     # conv3ds otherwise run at 12-25% lane fill. Checkpoint-compatible
     # (identical parameter tree); measured win recorded in ARCHITECTURE.md.
     lane_pack: bool = False
+    # Evaluate 3x3x3 convs as depth-shifted conv2ds (layers.Decomp3DConv):
+    # exactly the same arithmetic; targets the conv3d BACKWARD's padded
+    # gradient temps (the dominant train-step HBM term). Checkpoint-
+    # compatible (identical parameter tree). Measured verdict in
+    # ARCHITECTURE.md.
+    conv3d_as2d: bool = False
 
     @property
     def depth_interval(self) -> float:
@@ -118,12 +124,14 @@ class DepthNetHybrid(nn.Module):
             use_pallas_attention=self.use_pallas_attention,
             pallas_interpret=self.pallas_interpret,
             lane_pack=self.lane_pack,
+            conv3d_as2d=self.conv3d_as2d,
             fast_frustum=self.fast_frustum,
             pallas_warp=self.pallas_warp,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60)
-        kw3 = dict(kw, lane_pack=self.lane_pack)
+        kw3 = dict(kw, lane_pack=self.lane_pack,
+                   conv3d_as2d=self.conv3d_as2d)
         self.pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, **kw3)
         self.pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", **kw3)
         self.pre2 = ConvBN(32, (3, 3, 3), 1, zero_bn_scale=True, **kw3)

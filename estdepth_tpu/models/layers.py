@@ -145,6 +145,61 @@ class PackedConv3D(nn.Module):
         )
 
 
+class Decomp3DConv(nn.Module):
+    """Drop-in nn.Conv replacement (3D, stride 1, SAME odd-kernel padding)
+    evaluated as kd depth-shifted 2D convs over a fused [B*D, H, W, C]
+    batch — EXACTLY the same arithmetic (a k x k x k conv is the sum of
+    its kd depth slices applied as 2D convs to depth-shifted input).
+
+    The point is XLA's conv BACKWARD: the 3D form materializes gradient
+    temps whose {C-minor, batch-sublane} layout tile-pads ~5x at the
+    decoder's B<=12 / C=32 shapes (the dominant train-step HBM term,
+    ARCHITECTURE.md headroom #1), while the 2D form's fused B*D batch
+    (hundreds) never pads sublanes. Parameter names/shapes are identical
+    to nn.Conv ("kernel" [kd,kh,kw,ci,co], optional "bias") — checkpoints,
+    the converter, and parity tests are unaffected.
+    """
+
+    features: int
+    kernel: Sequence[int]
+    use_bias: bool = False
+    dtype: Optional[jnp.dtype] = None
+    kernel_init: Callable[..., Any] = _KERNEL_INIT
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kd, kh, kw = self.kernel
+        k = self.param(
+            "kernel", self.kernel_init,
+            (kd, kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+        xd = x.astype(dtype)
+        kc = k.astype(dtype)
+        b, d, h, w, c = x.shape
+        xp = jnp.pad(xd, ((0, 0), (kd // 2, kd // 2), (0, 0), (0, 0),
+                          (0, 0)))
+        out = None
+        for i in range(kd):
+            xi = jax.lax.dynamic_slice_in_dim(xp, i, d, 1).reshape(
+                b * d, h, w, c)
+            y = jax.lax.conv_general_dilated(
+                xi, kc[i], (1, 1),
+                [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            out = y if out is None else out + y
+        out = out.reshape(b, d, h, w, self.features)
+        if bias is not None:
+            out = out + bias.astype(dtype)
+        return out
+
+
 class ConvBN(nn.Module):
     """Conv(bias=False) + BatchNorm + optional activation, rank-agnostic.
 
@@ -168,6 +223,9 @@ class ConvBN(nn.Module):
     # evaluate 3D convs lane-packed (PackedConv3D) — exact same arithmetic,
     # ~2x MXU utilization at the decoder's 16-33 output channels
     lane_pack: bool = False
+    # evaluate 3D convs as depth-shifted conv2ds (Decomp3DConv) — exact
+    # same arithmetic, avoids the 3D conv backward's padded gradient temps
+    conv3d_as2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -176,16 +234,19 @@ class ConvBN(nn.Module):
         pad = self.padding if self.padding is not None else kernel[0] // 2
         if self.dilation > 1:
             pad = self.dilation
-        packable = (
-            self.lane_pack
-            and rank == 3
+        eligible3d = (
+            rank == 3
             and _tup(self.stride, rank) == (1, 1, 1)
             and self.dilation == 1
             and all(kk % 2 == 1 for kk in kernel)
             and len(set(kernel)) == 1  # cubic: per-dim pad == pad below
             and pad == kernel[0] // 2
         )
-        if packable:
+        if self.conv3d_as2d and eligible3d and kernel[0] > 1:
+            x = Decomp3DConv(
+                self.features, kernel, dtype=self.dtype, name="conv",
+            )(x)
+        elif self.lane_pack and eligible3d:
             x = PackedConv3D(
                 self.features, kernel, dtype=self.dtype, name="conv",
             )(x)
