@@ -1,9 +1,11 @@
 """Measure the flagship train step under the three warp backends.
 
 exact (shipping default), plane_mix (differentiable XLA reformulation),
-pallas (lane-gather forward + plane-mix-VJP backward). Same anti-elision
-protocol as bench.py's train block: distinct batch per step, scalar fetch
-inside the timed region.
+pallas (lane-gather forward + plane-mix-VJP backward), plus as2d /
+plane_mix_as2d (3x3x3 convs as depth-shifted conv2ds — targets the conv3d
+BACKWARD's padded gradient temps, models/layers.Decomp3DConv). Same
+anti-elision protocol as bench.py's train block: distinct batch per step,
+scalar fetch inside the timed region.
 
 Usage: python tools/experiments/train_warp_modes.py [--steps 5]
 """
@@ -45,7 +47,9 @@ def main():
     ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--ndepths", type=int, default=64)
-    ap.add_argument("--modes", type=str, default="exact,plane_mix,pallas")
+    ap.add_argument(
+        "--modes", type=str,
+        default="exact,plane_mix,pallas,as2d,plane_mix_as2d")
     args = ap.parse_args()
 
     cfg = SyntheticSceneConfig(height=args.height, width=args.width)
@@ -61,8 +65,9 @@ def main():
             ndepths=args.ndepths, depth_min=0.01, depth_max=10.0,
             resnet=50, est_transformer=True, bn_axis_name="data",
             dtype=jnp.bfloat16,
-            fast_frustum=mode == "plane_mix",
+            fast_frustum=mode in ("plane_mix", "plane_mix_as2d"),
             pallas_warp=mode == "pallas",
+            conv3d_as2d=mode in ("as2d", "plane_mix_as2d"),
         )
         state = create_train_state(model, jax.random.key(0), batch, tx)
         state = replicate(state, mesh)
