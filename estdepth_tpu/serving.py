@@ -1,0 +1,302 @@
+"""StableHLO serving artifacts for ESTM streaming inference.
+
+`jax.export` serializes the jitted per-frame window step — model weights
+baked into the module as constants — into a versioned artifact that a
+plain JAX runtime executes WITHOUT the model code: deployment needs this
+module only for the thin host-side window bookkeeping
+(`ExportedStreamRunner`), not flax, the model zoo, or the checkpoint
+converter. The reference serves by holding the live torch module inside
+the eval driver process (/root/reference/eval_hybrid_seq.py:124-193);
+this is the TPU-deployment equivalent — a frozen, process-independent
+program per jit specialization.
+
+Artifact layout (``export_stream(...).save(dir)``)::
+
+    manifest.json   shapes / scales / dtypes / platforms / jax version
+    first.shlo      first window of a scene (no EST fusion yet)
+    steady.shlo     steady state (EST fusion against the memory FIFO)
+
+Both programs share the calling convention of eval/estm.py's step::
+
+    first (imgs [B,lw,H,W,3] f32, poses [B,lw,4,4] f32, intr [B,3,3] f32,
+           memory)                  -> (depth [B,S,H,W], memory, feats)
+    steady(imgs, poses, intr, memory, feats)
+                                    -> (depth [B,S,H,W], memory, feats)
+
+`feats` are the carried matching features of the ``lw-1`` frames shared
+with the previous window (eval-mode BN makes them deterministic, so the
+carry is exact). Frame-for-frame equality with a live ``ESTMRunner`` is
+pinned by tests/test_serving.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MANIFEST = "manifest.json"
+_FIRST = "first.shlo"
+_STEADY = "steady.shlo"
+_FORMAT_VERSION = 1
+
+_registered = False
+
+
+def register_serialization() -> None:
+    """Register custom pytree nodes with jax.export (idempotent).
+
+    ESTMemory crosses the exported-function boundary, so its treedef must
+    be serializable alongside the StableHLO.
+    """
+    global _registered
+    if _registered:
+        return
+    from jax import export as jexport
+
+    from estdepth_tpu.models import ESTMemory
+
+    def _ser(aux) -> bytes:
+        if aux not in ((), None):  # flax.struct dataclass: no static fields
+            raise ValueError(f"unexpected ESTMemory auxdata {aux!r}")
+        return b""
+
+    jexport.register_pytree_node_serialization(
+        ESTMemory,
+        serialized_name="estdepth_tpu.models.memory.ESTMemory",
+        serialize_auxdata=_ser,
+        deserialize_auxdata=lambda b: (),
+    )
+    _registered = True
+
+
+def _make_step_fns(model, variables, output_scales, output_dtype):
+    """(first_fn, steady_fn) mirroring eval/estm.py's window step with
+    stacked-array inputs (an export calling convention wants one array per
+    logical input, not a tuple of per-frame arrays)."""
+    from estdepth_tpu.eval.output import trim_depth
+
+    def _step(imgs, poses, intr, memory, feats, use_est):
+        b, lw, h_img, w_img, _ = imgs.shape
+        if feats is None:  # first window: matching features of all frames
+            all_feats = model.apply(
+                variables, imgs.reshape(b * lw, h_img, w_img, 3),
+                method="compute_matching",
+            ).reshape(b, lw, h_img // 4, w_img // 4, -1)
+        else:  # steady state: only the new frame's features
+            new_feat = model.apply(
+                variables, imgs[:, -1], method="compute_matching",
+            )
+            all_feats = jnp.concatenate([feats, new_feat[:, None]], 1)
+        outputs, (key, value, pose) = model.apply(
+            variables, imgs, poses, intr,
+            memory=memory if use_est else None,
+            use_est=use_est, train=False, matching_feats=all_feats,
+        )
+        new_memory = memory.push(key, value, pose)
+        depth = trim_depth(
+            outputs["depth"][:, 0], output_scales, output_dtype
+        )
+        return depth, new_memory, all_feats[:, 1:]
+
+    def first_fn(imgs, poses, intr, memory):
+        return _step(imgs, poses, intr, memory, None, False)
+
+    def steady_fn(imgs, poses, intr, memory, feats):
+        return _step(imgs, poses, intr, memory, feats, True)
+
+    return first_fn, steady_fn
+
+
+def _fresh_memory(manifest: dict):
+    from estdepth_tpu.models import ESTMemory
+
+    return ESTMemory.create(
+        manifest["batch"], manifest["memory_size"], manifest["ndepths"],
+        manifest["height"] // 4, manifest["width"] // 4,
+        manifest["memory_channels"],
+        dtype=jnp.dtype(manifest["memory_dtype"]),
+    )
+
+
+@dataclasses.dataclass
+class StreamArtifact:
+    """An exported ESTM streaming step: two serialized programs + manifest."""
+
+    manifest: dict
+    first_blob: bytes
+    steady_blob: bytes
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        with open(os.path.join(directory, _MANIFEST), "w") as f:
+            json.dump(self.manifest, f, indent=2, sort_keys=True)
+        with open(os.path.join(directory, _FIRST), "wb") as f:
+            f.write(self.first_blob)
+        with open(os.path.join(directory, _STEADY), "wb") as f:
+            f.write(self.steady_blob)
+
+
+def export_stream(
+    model,
+    variables,
+    *,
+    height: int,
+    width: int,
+    batch: int = 1,
+    lwindow: int = 3,
+    memory_size: int = 2,
+    output_scales: Sequence[int] = (0,),
+    output_dtype=None,
+    platforms: Optional[Sequence[str]] = None,
+) -> StreamArtifact:
+    """Export the streaming window step as a StableHLO serving artifact.
+
+    Weights are baked into the programs as constants (the freeze_weights
+    tradeoff documented in eval/estm.py: long XLA compiles for the
+    flagship, but zero per-call weight marshaling — the right side of the
+    tradeoff for a frozen serving build). ``platforms`` defaults to the
+    current backend; pass e.g. ``("tpu", "cpu")`` for a cross-platform
+    artifact exported from any host.
+    """
+    from jax import export as jexport
+
+    register_serialization()
+    first_fn, steady_fn = _make_step_fns(
+        model, variables, tuple(output_scales), output_dtype
+    )
+
+    f32 = jnp.float32
+    imgs = jax.ShapeDtypeStruct((batch, lwindow, height, width, 3), f32)
+    poses = jax.ShapeDtypeStruct((batch, lwindow, 4, 4), f32)
+    intr = jax.ShapeDtypeStruct((batch, 3, 3), f32)
+    mem_dtype = model.dtype or jnp.float32
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms) if platforms else [
+            jax.default_backend()
+        ],
+        "height": height,
+        "width": width,
+        "batch": batch,
+        "lwindow": lwindow,
+        "memory_size": memory_size,
+        "ndepths": model.ndepths,
+        "memory_channels": 16,
+        "memory_dtype": jnp.dtype(mem_dtype).name,
+        "output_scales": list(output_scales),
+        "output_dtype": (
+            jnp.dtype(output_dtype).name if output_dtype is not None
+            else None
+        ),
+    }
+    mem = jax.eval_shape(lambda: _fresh_memory(manifest))
+    feats = jax.eval_shape(
+        lambda v, i: model.apply(v, i, method="compute_matching"),
+        variables,
+        jax.ShapeDtypeStruct((batch * (lwindow - 1), height, width, 3), f32),
+    )
+    feats = jax.ShapeDtypeStruct(
+        (batch, lwindow - 1) + feats.shape[1:], feats.dtype
+    )
+
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    first = jexport.export(jax.jit(first_fn), **kw)(imgs, poses, intr, mem)
+    steady = jexport.export(jax.jit(steady_fn), **kw)(
+        imgs, poses, intr, mem, feats
+    )
+    return StreamArtifact(
+        manifest=manifest,
+        first_blob=bytes(first.serialize()),
+        steady_blob=bytes(steady.serialize()),
+    )
+
+
+class ExportedStreamRunner:
+    """Host-side streaming driver over a deserialized artifact.
+
+    Mirrors eval/estm.py's ESTMRunner window bookkeeping (slide-by-one
+    window, FIFO memory, carried matching features, per-scene reset) but
+    every device step is a restored ``jax.export`` program — no model
+    code, flax, or weights on the host path.
+    """
+
+    def __init__(self, manifest: dict, first, steady):
+        self.manifest = manifest
+        self._first = first
+        self._steady = steady
+        self.batch = manifest["batch"]
+        self.lwindow = manifest["lwindow"]
+        self.height = manifest["height"]
+        self.width = manifest["width"]
+        self.reset()
+
+    def reset(self) -> None:
+        """New scene: clear window + memory (eval_hybrid_seq.py:163-167)."""
+        self._window_imgs = []
+        self._window_poses = []
+        self._feats = None
+        self._memory = _fresh_memory(self.manifest)
+        self._memory_filled = False
+        self._intr = None
+
+    def push_frame(
+        self, img: np.ndarray, pose: np.ndarray, intr: np.ndarray
+    ) -> Optional[jnp.ndarray]:
+        """Feed one frame per stream; returns [B, S, H, W] center-frame
+        depth once the window is full, else None (ESTMRunner protocol)."""
+        img = np.asarray(img, np.float32)
+        if img.ndim == 3:
+            img = np.broadcast_to(img[None], (self.batch,) + img.shape)
+        pose = np.asarray(pose, np.float32)
+        if pose.ndim == 2:
+            pose = np.broadcast_to(pose[None], (self.batch, 4, 4))
+        self._window_imgs.append(np.ascontiguousarray(img))
+        self._window_poses.append(np.ascontiguousarray(pose))
+        if len(self._window_imgs) < self.lwindow:
+            return None
+        if self._intr is None:
+            k = np.asarray(intr, np.float32)
+            k = k[None] if k.ndim == 2 else k
+            if k.shape[0] != self.batch:
+                k = np.tile(k[:1], (self.batch, 1, 1))
+            self._intr = k
+        imgs = jnp.asarray(np.stack(self._window_imgs, axis=1))
+        poses = jnp.asarray(np.stack(self._window_poses, axis=1))
+        if self._memory_filled:
+            depth, self._memory, self._feats = self._steady.call(
+                imgs, poses, self._intr, self._memory, self._feats
+            )
+        else:
+            depth, self._memory, self._feats = self._first.call(
+                imgs, poses, self._intr, self._memory
+            )
+        self._memory_filled = True
+        self._window_imgs.pop(0)
+        self._window_poses.pop(0)
+        return depth
+
+
+def load_stream(directory: str) -> ExportedStreamRunner:
+    """Load a saved StreamArtifact directory into a ready runner."""
+    from jax import export as jexport
+
+    register_serialization()
+    with open(os.path.join(directory, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format_version") != _FORMAT_VERSION:
+        raise ValueError(
+            f"artifact format {manifest.get('format_version')} != "
+            f"{_FORMAT_VERSION}"
+        )
+    with open(os.path.join(directory, _FIRST), "rb") as f:
+        first = jexport.deserialize(bytearray(f.read()))
+    with open(os.path.join(directory, _STEADY), "rb") as f:
+        steady = jexport.deserialize(bytearray(f.read()))
+    return ExportedStreamRunner(manifest, first, steady)

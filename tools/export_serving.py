@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Export the ESTM streaming step as a StableHLO serving artifact.
+
+Serializes the two jit specializations of the per-frame window step
+(first-window / steady-state, weights baked in) via jax.export into a
+directory a plain JAX runtime can execute without the model code — the
+deployment form of the reference's live-process serving loop
+(/root/reference/eval_hybrid_seq.py:124-193). See estdepth_tpu/serving.py.
+
+Usage:
+  python tools/export_serving.py --out artifacts/estm/       # random init
+  python tools/export_serving.py --out artifacts/estm/ \
+      --ckpt runs/ckpt_dir --bf16 --platforms tpu,cpu --verify 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from estdepth_tpu.utils.platform import apply_platform_env
+
+apply_platform_env()
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", type=str, required=True,
+                   help="artifact output directory")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="orbax run dir or reference torch .ckpt/.pth "
+                        "(converted); default random init")
+    p.add_argument("--height", type=int, default=256)
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--ndepths", type=int, default=64)
+    p.add_argument("--depth-min", type=float, default=0.01)
+    p.add_argument("--depth-max", type=float, default=10.0)
+    p.add_argument("--resnet", type=int, default=50)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--batch", type=int, default=1,
+                   help="independent streams per exported step")
+    p.add_argument("--lwindow", type=int, default=3)
+    p.add_argument("--memory-size", type=int, default=2)
+    p.add_argument("--scales", type=str, default="0",
+                   help="comma-separated output depth scales (serving "
+                        "default: refined scale-0 only)")
+    p.add_argument("--output-bf16", action="store_true",
+                   help="downcast the fetched depth maps (8x less "
+                        "device->host transfer vs 4-scale fp32)")
+    p.add_argument("--platforms", type=str, default=None,
+                   help="comma-separated lowering platforms, e.g. "
+                        "'tpu,cpu' for a cross-platform artifact; "
+                        "default: current backend")
+    p.add_argument("--verify", type=int, default=0, metavar="N",
+                   help="after export, stream N synthetic frames through "
+                        "the reloaded artifact AND a live ESTMRunner and "
+                        "compare frame-for-frame")
+    return p.parse_args()
+
+
+def build_model_and_params(args):
+    """Same recipe as tools/eval_estm.py:build_model_and_params (jitted
+    init; orbax or converted-torch checkpoint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from estdepth_tpu.models import DepthNetHybrid
+
+    model = DepthNetHybrid(
+        ndepths=args.ndepths, depth_min=args.depth_min,
+        depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        rng.uniform(0, 255, size=(1, args.lwindow, args.height, args.width, 3))
+        .astype(np.float32)
+    )
+    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[None, None],
+                                (1, args.lwindow, 1, 1)))
+    intr = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 100.0)
+    variables = jax.jit(lambda r, i, p, k: model.init(r, i, p, k, train=False))(
+        jax.random.key(0), imgs, poses, intr
+    )
+    if args.ckpt:
+        if args.ckpt.endswith((".ckpt", ".pth", ".pt", ".tar")):
+            from estdepth_tpu.utils.convert import load_torch_checkpoint
+
+            variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)
+            if unmatched:
+                print(f"converter skipped {len(unmatched)} torch keys")
+        else:
+            import orbax.checkpoint as ocp
+
+            mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt))
+            step = mgr.latest_step()
+            restored = mgr.restore(step)
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
+            }
+            print(f"restored checkpoint step {step} from {args.ckpt}")
+    return model, variables
+
+
+def verify(args, model, variables, n_frames: int) -> float:
+    """Stream the same synthetic scene through the reloaded artifact and a
+    live ESTMRunner; return the max abs depth delta across frames."""
+    import jax.numpy as jnp
+
+    from estdepth_tpu.data.synthetic import (
+        SyntheticSceneConfig, synthetic_stream,
+    )
+    from estdepth_tpu.eval.estm import ESTMRunner
+    from estdepth_tpu.serving import load_stream
+
+    scales = tuple(int(s) for s in args.scales.split(","))
+    out_dtype = jnp.bfloat16 if args.output_bf16 else None
+    live = ESTMRunner(
+        model, variables, args.height, args.width, lwindow=args.lwindow,
+        memory_size=args.memory_size, batch=args.batch,
+        output_scales=scales, output_dtype=out_dtype,
+    )
+    exported = load_stream(args.out)
+    cfg = SyntheticSceneConfig(
+        height=args.height, width=args.width, focal=args.width * 0.6
+    )
+    frames = list(synthetic_stream(
+        cfg, n_frames=n_frames,
+        depth_min=args.depth_min, depth_max=args.depth_max,
+    ))
+    max_delta = 0.0
+    for f in frames:
+        d_live = live.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        d_exp = exported.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+        assert (d_live is None) == (d_exp is None)
+        if d_live is not None:
+            delta = float(jnp.max(jnp.abs(
+                d_live.astype(jnp.float32) - d_exp.astype(jnp.float32)
+            )))
+            max_delta = max(max_delta, delta)
+    return max_delta
+
+
+def main():
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from estdepth_tpu.serving import export_stream
+
+    model, variables = build_model_and_params(args)
+    scales = tuple(int(s) for s in args.scales.split(","))
+    platforms = (
+        tuple(args.platforms.split(",")) if args.platforms else None
+    )
+    t0 = time.perf_counter()
+    artifact = export_stream(
+        model, variables,
+        height=args.height, width=args.width, batch=args.batch,
+        lwindow=args.lwindow, memory_size=args.memory_size,
+        output_scales=scales,
+        output_dtype=jnp.bfloat16 if args.output_bf16 else None,
+        platforms=platforms,
+    )
+    artifact.save(args.out)
+    n_bytes = len(artifact.first_blob) + len(artifact.steady_blob)
+    print(
+        f"exported {args.out} ({n_bytes / 1e6:.1f} MB, "
+        f"platforms={artifact.manifest['platforms']}, "
+        f"{time.perf_counter() - t0:.1f}s)"
+    )
+    if args.verify:
+        delta = verify(args, model, variables, args.verify)
+        print(f"verify: max |depth delta| over {args.verify} frames = "
+              f"{delta:.3e}")
+        if delta > 1e-3:
+            sys.exit(f"verification FAILED (delta {delta:.3e} > 1e-3)")
+
+
+if __name__ == "__main__":
+    main()
