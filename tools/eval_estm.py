@@ -73,6 +73,12 @@ def parse_args():
                         "no gather engine on the critical path; implies "
                         "plane-mix z semantics plus a sub-pixel two-pass "
                         "deviation (test_pallas_warp.py). Eval-only.")
+    p.add_argument("--conv3d-as2d", action="store_true",
+                   help="run every 3x3x3 conv as three depth-shifted "
+                        "conv2ds over a [B*D,H,W,C] fused batch "
+                        "(models/layers.Decomp3DConv) — numerically exact, "
+                        "identical parameter tree; execution-strategy "
+                        "choice for shapes where conv3d tiles poorly")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"
@@ -94,6 +100,7 @@ def build_model_and_params(args):
         dtype=jnp.bfloat16 if args.bf16 else None,
         fast_frustum=getattr(args, "fast_frustum", False),
         pallas_warp=getattr(args, "pallas_warp", False),
+        conv3d_as2d=getattr(args, "conv3d_as2d", False),
     )
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(

@@ -416,6 +416,7 @@ def main():
 
     _full_names = {
         "full_step", "full_step_planemix", "full_step_pallas",
+        "full_step_pallas_as2d",
         "cost_volumes_full", "decoder_full", "decoder_full_planemix",
         "semantic_unet", "resnet_in_model",
     }
@@ -467,6 +468,12 @@ def main():
         model_pallas = model.clone(pallas_warp=True)
         measure("full_step_pallas", full_shapes,
                 lambda i, t, f, m: full_step(model_pallas, i, t, f, m),
+                dtypes=full_dts)
+        # pallas warps + exact conv3d-as-2d (the post-warp-win bottleneck is
+        # the 3D conv stacks; this measures the combined eval candidate)
+        model_pallas_as2d = model.clone(pallas_warp=True, conv3d_as2d=True)
+        measure("full_step_pallas_as2d", full_shapes,
+                lambda i, t, f, m: full_step(model_pallas_as2d, i, t, f, m),
                 dtypes=full_dts)
 
         # -- bisecting probes for (full_step - sum of parts) ----------------
