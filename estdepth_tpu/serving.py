@@ -4,11 +4,14 @@
 baked into the module as constants — into a versioned artifact that a
 plain JAX runtime executes WITHOUT the model code: deployment needs this
 module only for the thin host-side window bookkeeping
-(`ExportedStreamRunner`), not flax, the model zoo, or the checkpoint
-converter. The reference serves by holding the live torch module inside
-the eval driver process (/root/reference/eval_hybrid_seq.py:124-193);
-this is the TPU-deployment equivalent — a frozen, process-independent
-program per jit specialization.
+(`ExportedStreamRunner`) plus the ESTMemory pytree definition
+(models/memory.py — a flax.struct dataclass, so flax itself is still a
+serving dependency); the model zoo, checkpoint converter, and training
+stack never import (models/__init__ resolves names lazily). The
+reference serves by holding the live torch module inside the eval driver
+process (/root/reference/eval_hybrid_seq.py:124-193); this is the
+TPU-deployment equivalent — a frozen, process-independent program per
+jit specialization.
 
 Artifact layout (``export_stream(...).save(dir)``)::
 
@@ -16,17 +19,27 @@ Artifact layout (``export_stream(...).save(dir)``)::
     first.shlo      first window of a scene (no EST fusion yet)
     steady.shlo     steady state (EST fusion against the memory FIFO)
 
-Both programs share the calling convention of eval/estm.py's step::
+Both programs take the window as ``lwindow`` SEPARATE per-frame image
+arrays (stacked on device inside the program), so the host driver keeps
+frames device-resident and uploads only the ONE new frame each step —
+the live runner's measured-11x device-resident protocol (eval/estm.py),
+not a host re-stack of the whole window::
 
-    first (imgs [B,lw,H,W,3] f32, poses [B,lw,4,4] f32, intr [B,3,3] f32,
-           memory)                  -> (depth [B,S,H,W], memory, feats)
-    steady(imgs, poses, intr, memory, feats)
-                                    -> (depth [B,S,H,W], memory, feats)
+    first (frames: lw x [B,H,W,3] f32, poses [B,lw,4,4] f32,
+           intr [B,3,3] f32, memory)   -> (depth [B,S,H,W], memory, feats)
+    steady(frames, poses, intr, memory, feats)
+                                       -> (depth [B,S,H,W], memory, feats)
 
 `feats` are the carried matching features of the ``lw-1`` frames shared
 with the previous window (eval-mode BN makes them deterministic, so the
 carry is exact). Frame-for-frame equality with a live ``ESTMRunner`` is
 pinned by tests/test_serving.py.
+
+Known limitation vs the live runner: `jax.export` does not carry buffer
+donation through serialization (`Exported` has no donation field), so
+the restored step cannot reuse the memory/feats buffers in place — the
+FIFO state costs one extra transient copy per step compared to the live
+jit with `donate_argnames`.
 """
 
 from __future__ import annotations
@@ -59,7 +72,7 @@ def register_serialization() -> None:
         return
     from jax import export as jexport
 
-    from estdepth_tpu.models import ESTMemory
+    from estdepth_tpu.models.memory import ESTMemory
 
     def _ser(aux) -> bytes:
         if aux not in ((), None):  # flax.struct dataclass: no static fields
@@ -76,12 +89,15 @@ def register_serialization() -> None:
 
 
 def _make_step_fns(model, variables, output_scales, output_dtype):
-    """(first_fn, steady_fn) mirroring eval/estm.py's window step with
-    stacked-array inputs (an export calling convention wants one array per
-    logical input, not a tuple of per-frame arrays)."""
+    """(first_fn, steady_fn) mirroring eval/estm.py's window step.
+
+    The window arrives as ``lwindow`` separate per-frame arrays and is
+    stacked INSIDE the program, so the host driver never re-uploads the
+    ``lw-1`` frames it already sent (they stay device-resident buffers)."""
     from estdepth_tpu.eval.output import trim_depth
 
-    def _step(imgs, poses, intr, memory, feats, use_est):
+    def _step(frames, poses, intr, memory, feats, use_est):
+        imgs = jnp.stack(frames, axis=1)  # [B, lw, H, W, 3]
         b, lw, h_img, w_img, _ = imgs.shape
         if feats is None:  # first window: matching features of all frames
             all_feats = model.apply(
@@ -90,7 +106,7 @@ def _make_step_fns(model, variables, output_scales, output_dtype):
             ).reshape(b, lw, h_img // 4, w_img // 4, -1)
         else:  # steady state: only the new frame's features
             new_feat = model.apply(
-                variables, imgs[:, -1], method="compute_matching",
+                variables, frames[-1], method="compute_matching",
             )
             all_feats = jnp.concatenate([feats, new_feat[:, None]], 1)
         outputs, (key, value, pose) = model.apply(
@@ -104,17 +120,17 @@ def _make_step_fns(model, variables, output_scales, output_dtype):
         )
         return depth, new_memory, all_feats[:, 1:]
 
-    def first_fn(imgs, poses, intr, memory):
-        return _step(imgs, poses, intr, memory, None, False)
+    def first_fn(frames, poses, intr, memory):
+        return _step(frames, poses, intr, memory, None, False)
 
-    def steady_fn(imgs, poses, intr, memory, feats):
-        return _step(imgs, poses, intr, memory, feats, True)
+    def steady_fn(frames, poses, intr, memory, feats):
+        return _step(frames, poses, intr, memory, feats, True)
 
     return first_fn, steady_fn
 
 
 def _fresh_memory(manifest: dict):
-    from estdepth_tpu.models import ESTMemory
+    from estdepth_tpu.models.memory import ESTMemory
 
     return ESTMemory.create(
         manifest["batch"], manifest["memory_size"], manifest["ndepths"],
@@ -172,7 +188,10 @@ def export_stream(
     )
 
     f32 = jnp.float32
-    imgs = jax.ShapeDtypeStruct((batch, lwindow, height, width, 3), f32)
+    frames = tuple(
+        jax.ShapeDtypeStruct((batch, height, width, 3), f32)
+        for _ in range(lwindow)
+    )
     poses = jax.ShapeDtypeStruct((batch, lwindow, 4, 4), f32)
     intr = jax.ShapeDtypeStruct((batch, 3, 3), f32)
     mem_dtype = model.dtype or jnp.float32
@@ -207,9 +226,9 @@ def export_stream(
     )
 
     kw = {"platforms": tuple(platforms)} if platforms else {}
-    first = jexport.export(jax.jit(first_fn), **kw)(imgs, poses, intr, mem)
+    first = jexport.export(jax.jit(first_fn), **kw)(frames, poses, intr, mem)
     steady = jexport.export(jax.jit(steady_fn), **kw)(
-        imgs, poses, intr, mem, feats
+        frames, poses, intr, mem, feats
     )
     return StreamArtifact(
         manifest=manifest,
@@ -224,7 +243,9 @@ class ExportedStreamRunner:
     Mirrors eval/estm.py's ESTMRunner window bookkeeping (slide-by-one
     window, FIFO memory, carried matching features, per-scene reset) but
     every device step is a restored ``jax.export`` program — no model
-    code, flax, or weights on the host path.
+    code or weights on the host path. Window frames are kept as
+    device-resident arrays: each step uploads only the ONE new frame
+    (the per-frame programs take the window as separate arrays).
     """
 
     def __init__(self, manifest: dict, first, steady):
@@ -257,7 +278,8 @@ class ExportedStreamRunner:
         pose = np.asarray(pose, np.float32)
         if pose.ndim == 2:
             pose = np.broadcast_to(pose[None], (self.batch, 4, 4))
-        self._window_imgs.append(np.ascontiguousarray(img))
+        # one [B,H,W,3] upload per frame; prior frames stay on device
+        self._window_imgs.append(jnp.asarray(np.ascontiguousarray(img)))
         self._window_poses.append(np.ascontiguousarray(pose))
         if len(self._window_imgs) < self.lwindow:
             return None
@@ -267,15 +289,15 @@ class ExportedStreamRunner:
             if k.shape[0] != self.batch:
                 k = np.tile(k[:1], (self.batch, 1, 1))
             self._intr = k
-        imgs = jnp.asarray(np.stack(self._window_imgs, axis=1))
+        frames = tuple(self._window_imgs)
         poses = jnp.asarray(np.stack(self._window_poses, axis=1))
         if self._memory_filled:
             depth, self._memory, self._feats = self._steady.call(
-                imgs, poses, self._intr, self._memory, self._feats
+                frames, poses, self._intr, self._memory, self._feats
             )
         else:
             depth, self._memory, self._feats = self._first.call(
-                imgs, poses, self._intr, self._memory
+                frames, poses, self._intr, self._memory
             )
         self._memory_filled = True
         self._window_imgs.pop(0)
@@ -288,6 +310,14 @@ def load_stream(directory: str) -> ExportedStreamRunner:
     from jax import export as jexport
 
     register_serialization()
+    marker = os.path.join(directory, "VERIFY_FAILED")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            reason = f.read().strip()
+        raise ValueError(
+            f"artifact {directory} failed export-time verification "
+            f"({reason}); re-export it"
+        )
     with open(os.path.join(directory, _MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("format_version") != _FORMAT_VERSION:

@@ -43,6 +43,14 @@ def parse_args():
     p.add_argument("--depth-max", type=float, default=10.0)
     p.add_argument("--resnet", type=int, default=50)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fast-frustum", action="store_true",
+                   help="plane-mix EST memory warps (see eval_estm.py)")
+    p.add_argument("--pallas-warp", action="store_true",
+                   help="Pallas lane-gather warps (see eval_estm.py); "
+                        "TPU-platform artifacts only")
+    p.add_argument("--conv3d-as2d", action="store_true",
+                   help="exact 3x3x3-as-depth-shifted-conv2ds execution "
+                        "(see eval_estm.py)")
     p.add_argument("--batch", type=int, default=1,
                    help="independent streams per exported step")
     p.add_argument("--lwindow", type=int, default=3)
@@ -65,48 +73,12 @@ def parse_args():
 
 
 def build_model_and_params(args):
-    """Same recipe as tools/eval_estm.py:build_model_and_params (jitted
-    init; orbax or converted-torch checkpoint)."""
-    import jax
-    import jax.numpy as jnp
+    """One recipe for model+weights across eval and export: reuse
+    tools/eval_estm.py's builder (jitted init; orbax or converted-torch
+    checkpoint; fast-kernel model variants)."""
+    from tools.eval_estm import build_model_and_params as build
 
-    from estdepth_tpu.models import DepthNetHybrid
-
-    model = DepthNetHybrid(
-        ndepths=args.ndepths, depth_min=args.depth_min,
-        depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-    )
-    rng = np.random.default_rng(0)
-    imgs = jnp.asarray(
-        rng.uniform(0, 255, size=(1, args.lwindow, args.height, args.width, 3))
-        .astype(np.float32)
-    )
-    poses = jnp.asarray(np.tile(np.eye(4, dtype=np.float32)[None, None],
-                                (1, args.lwindow, 1, 1)))
-    intr = jnp.asarray(np.eye(3, dtype=np.float32)[None] * 100.0)
-    variables = jax.jit(lambda r, i, p, k: model.init(r, i, p, k, train=False))(
-        jax.random.key(0), imgs, poses, intr
-    )
-    if args.ckpt:
-        if args.ckpt.endswith((".ckpt", ".pth", ".pt", ".tar")):
-            from estdepth_tpu.utils.convert import load_torch_checkpoint
-
-            variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)
-            if unmatched:
-                print(f"converter skipped {len(unmatched)} torch keys")
-        else:
-            import orbax.checkpoint as ocp
-
-            mgr = ocp.CheckpointManager(os.path.abspath(args.ckpt))
-            step = mgr.latest_step()
-            restored = mgr.restore(step)
-            variables = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
-            print(f"restored checkpoint step {step} from {args.ckpt}")
-    return model, variables
+    return build(args)
 
 
 def verify(args, model, variables, n_frames: int) -> float:
@@ -180,7 +152,12 @@ def main():
         print(f"verify: max |depth delta| over {args.verify} frames = "
               f"{delta:.3e}")
         if delta > 1e-3:
-            sys.exit(f"verification FAILED (delta {delta:.3e} > 1e-3)")
+            # quarantine: a failed artifact must be distinguishable on disk
+            marker = os.path.join(args.out, "VERIFY_FAILED")
+            with open(marker, "w") as f:
+                f.write(f"max |depth delta| {delta:.6e} > 1e-3\n")
+            sys.exit(f"verification FAILED (delta {delta:.3e} > 1e-3); "
+                     f"wrote {marker}")
 
 
 if __name__ == "__main__":
