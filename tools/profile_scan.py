@@ -418,6 +418,7 @@ def main():
         "full_step", "full_step_planemix", "full_step_pallas",
         "full_step_pallas_as2d",
         "cost_volumes_full", "decoder_full", "decoder_full_planemix",
+        "decoder_full_pallas", "decoder_full_pallas_as2d",
         "semantic_unet", "resnet_in_model",
     }
     if only is None or _full_names & only:
@@ -515,6 +516,13 @@ def main():
                 lambda *a: decoder_probe(model, *a), dtypes=dec_dts)
         measure("decoder_full_planemix", dec_shapes,
                 lambda *a: decoder_probe(model_fast, *a), dtypes=dec_dts)
+        # pallas-variant bisectors: attribute full_step_pallas's residual
+        # (the decoder holds both warps, the 3D stacks, and the GRU)
+        measure("decoder_full_pallas", dec_shapes,
+                lambda *a: decoder_probe(model_pallas, *a), dtypes=dec_dts)
+        measure("decoder_full_pallas_as2d", dec_shapes,
+                lambda *a: decoder_probe(model_pallas_as2d, *a),
+                dtypes=dec_dts)
 
         def unet_probe(s4, s3, s2, s1, s0):
             return model.apply(
