@@ -26,6 +26,9 @@ Prints ONE JSON line. Required keys {"metric", "value", "unit",
     (+ _pipelined): the fast-warp variants (plane-mix reformulation and
     the Pallas lane-gather kernels, ops/pallas/plane_warp.py) under the
     same protocols; end-metric drift characterized in PARITY.md
+  - scan_pallas_as2d_fps (+ mfu_scan_pallas_as2d): warp kernels plus the
+    EXACT conv3d-as-depth-shifted-conv2ds execution of the 3D stacks
+    (models/layers.Decomp3DConv) — the post-warp-bottleneck candidate
   - baseline: the traceable vs_baseline denominator — the reference
     PyTorch implementation measured on THIS host (tools/measure_baseline.py
     -> BASELINE_MEASURED.json); no GPU exists here and the reference
@@ -428,6 +431,35 @@ def main():
         )
     except Exception as e:
         extras["scan_pallas_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    # ---- Pallas warps + exact conv3d-as-2d (the combined candidate) -------
+    # After the warp kernels, the window step's residual is the 3D conv
+    # stacks (C=16/32 minor dims); conv3d_as2d evaluates each 3x3x3 conv as
+    # three depth-shifted conv2ds over a [B*D,H,W,C] batch — numerically
+    # exact, same parameters (models/layers.Decomp3DConv).
+    try:
+        proc_pa = make_sequence_processor(
+            model.clone(pallas_warp=True, conv3d_as2d=True), lwindow=3,
+            memory_size=2, output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        _fetch_with_timeout(
+            proc_pa(variables, ca_imgs, ca_poses, intr0),
+            seconds=240.0, label="scan-pallas-as2d-warmup",
+        )
+        n_windows = SCAN_FRAMES - 3 + 1
+        t0 = time.perf_counter()
+        depths_pa = proc_pa(variables, cb_imgs, cb_poses, intr0)
+        _fetch_with_timeout(depths_pa, seconds=240.0, label="scan-pallas-as2d")
+        dtpa = time.perf_counter() - t0
+        pa_fps = n_windows / dtpa
+        extras["scan_pallas_as2d_fps"] = round(pa_fps, 3)
+        if "window_gflops" in extras:
+            paf = extras["window_gflops"] * 1e9 * pa_fps
+            extras["mfu_scan_pallas_as2d"] = round(
+                paf / V5E_BF16_PEAK_FLOPS, 5
+            )
+    except Exception as e:
+        extras["scan_pallas_as2d_error"] = f"{type(e).__name__}: {e}"[:120]
 
     # ---- fused Pallas EST attention variant ------------------------------
     if os.environ.get("ESTDEPTH_BENCH_PALLAS", "1") != "0":
