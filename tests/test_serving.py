@@ -9,6 +9,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,28 @@ def test_exported_stream_matches_live_runner(tmp_path):
     np.testing.assert_allclose(
         np.asarray(d_exp), np.asarray(d_live), atol=1e-5, rtol=1e-5
     )
+
+
+def test_load_refuses_quarantined_artifact(tmp_path):
+    # export_serving writes VERIFY_FAILED when the oracle check fails;
+    # load_stream must refuse such artifacts rather than serve them
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "VERIFY_FAILED").write_text("max |depth delta| 1.0e-1 > 1e-3")
+    with pytest.raises(ValueError, match="failed export-time verification"):
+        load_stream(str(bad))
+
+
+def test_models_reexports_are_lazy():
+    # serving's load path imports only the ESTMemory pytree; the lazy
+    # __init__ (PEP 562) must still resolve every public name and reject
+    # unknown ones
+    import estdepth_tpu.models as m
+
+    assert set(m.__all__) <= set(dir(m))
+    assert m.ESTMemory is not None and m.DepthNetHybrid is not None
+    with pytest.raises(AttributeError):
+        m.NoSuchModel
 
 
 def test_manifest_and_cross_platform_blob(tmp_path):

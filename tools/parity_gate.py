@@ -79,6 +79,12 @@ def parse_args():
                         "'pallas_bf16' additionally runs OUR model in "
                         "bfloat16, exercising the int32-packed kernels — "
                         "the flagship bench configuration")
+    p.add_argument("--conv3d-as2d", action="store_true",
+                   help="orthogonal to --variant: run OUR side's 3x3x3 "
+                        "convs as depth-shifted conv2ds (exact "
+                        "decomposition, models/layers.Decomp3DConv) — "
+                        "gates the eval execution-strategy flag "
+                        "end-to-end against the actual reference")
     return p.parse_args()
 
 
@@ -132,6 +138,7 @@ def main():
         fast_frustum=args.variant == "plane_mix",
         pallas_warp=args.variant.startswith("pallas"),
         dtype=jnp.bfloat16 if args.variant == "pallas_bf16" else None,
+        conv3d_as2d=args.conv3d_as2d,
     )
     if args.ckpt:
         variables, unmatched = load_torch_checkpoint(args.ckpt, strict=False)
