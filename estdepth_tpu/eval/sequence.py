@@ -107,6 +107,113 @@ def make_sequence_processor(
     return jax.jit(process)
 
 
+def make_joint_processor(
+    model: DepthNetHybrid,
+    seq_length: int = 5,
+    est_on: bool = True,
+    reference_pose_pairing: bool = False,
+    output_scales: tuple = (0, 1, 2, 3),
+    output_dtype=None,
+):
+    """Whole-scene Joint-mode evaluation as one lax.scan program.
+
+    The Joint driver chains `seq_length`-frame windows advancing by
+    seq_length-2 frames, threading the last target's detached key/value
+    volume to the next window as a 1-entry EST memory
+    (tools/eval_joint.py, reference eval_hybrid.py:229-243). This is that
+    exact chain as ONE compiled program: windows slide inside `lax.scan`
+    with the 1-entry ESTMemory as the carry, so a whole scene runs with a
+    single dispatch — the Joint-mode counterpart of
+    `make_sequence_processor` (which is the stride-1 ESTM chain).
+
+    Returns jitted fn(variables, frames, poses, intr) -> depths where
+      frames [B, T, H, W, 3] (0..255) is the SAMPLED frame sequence
+      (already spaced by the eval frame interval), poses [B, T, 4, 4],
+      intr [B, 3, 3]. Result [B, NW, seq_length-2, S, H, W]: each
+      window's depth for its seq_length-2 target frames,
+      NW = (T - seq_length) // stride + 1 with stride = seq_length - 2.
+    Tail frames beyond the window grid are ignored — callers pad T (and
+    drop the padded windows' outputs) to reuse one compilation across
+    scene lengths; padded windows corrupt only memory entries consumed by
+    LATER padded windows, never a real one.
+
+    First window runs without EST fusion (reference flag,
+    hybrid_depth_decoder.py:423); every later window fuses in-window
+    neighbors + the threaded memory (`est_on=False` evaluates the pure
+    stereo path for every window, the --no-est protocol).
+    reference_pose_pairing reproduces the reference's stale pose
+    bookkeeping — with a 1-entry memory, window 0's last-target pose is
+    paired with every later volume (see ESTMemory.push; the loop driver's
+    JointRunner documents the same induction).
+    """
+    lw = seq_length
+    stride = seq_length - 2
+    assert stride >= 1
+
+    def trim(depth):  # [B, Tt, 4, H, W] -> [B, Tt, S, H, W] (+ cast)
+        if tuple(output_scales) != (0, 1, 2, 3):
+            depth = depth[:, :, jnp.array(output_scales)]
+        if output_dtype is not None:
+            depth = depth.astype(output_dtype)
+        return depth
+
+    def window_step(variables, imgs, poses, intr, memory, use_est, feats):
+        outputs, (key, value, pose) = model.apply(
+            variables, imgs, poses, intr,
+            memory=memory if use_est else None,
+            use_est=use_est, train=False, matching_feats=feats,
+        )
+        depth = trim(outputs["depth"])
+        return depth, memory.push(
+            key, value, pose,
+            reference_pose_pairing=reference_pose_pairing,
+        )
+
+    def process(variables, frames, poses, intr):
+        b, t = frames.shape[0], frames.shape[1]
+        h, w = frames.shape[2], frames.shape[3]
+        n_windows = (t - lw) // stride + 1
+        # valid=False start: window 0's push then stores its OWN pose, so
+        # the strict-pairing induction starts from window 0's last target
+        # exactly like the loop driver
+        memory = ESTMemory.create(
+            b, 1, model.ndepths, h // 4, w // 4, 16,
+            dtype=model.dtype or frames.dtype,
+        )
+
+        # matching features ONCE per frame in one batched encoder call
+        # (consecutive windows share lwindow-2 frames)
+        feats = model.apply(
+            variables, frames.reshape(b * t, h, w, 3),
+            method="compute_matching",
+        ).reshape(b, t, h // 4, w // 4, -1)
+
+        d0, memory = window_step(
+            variables, frames[:, :lw], poses[:, :lw], intr,
+            memory, False, feats[:, :lw],
+        )
+
+        def body(memory, start):
+            imgs_w = jax.lax.dynamic_slice_in_dim(frames, start, lw, 1)
+            poses_w = jax.lax.dynamic_slice_in_dim(poses, start, lw, 1)
+            feats_w = jax.lax.dynamic_slice_in_dim(feats, start, lw, 1)
+            depth, memory = window_step(
+                variables, imgs_w, poses_w, intr, memory, est_on, feats_w,
+            )
+            return memory, depth
+
+        if n_windows > 1:
+            _, rest = jax.lax.scan(
+                body, memory, jnp.arange(1, n_windows) * stride
+            )  # rest: [NW-1, B, Tt, S, H, W]
+            all_depths = jnp.concatenate([d0[None], rest], axis=0)
+        else:
+            all_depths = d0[None]
+        return jnp.moveaxis(all_depths, 0, 1)  # [B, NW, Tt, S, H, W]
+
+    return jax.jit(process)
+
+
 class SequenceProcessor:
     """Chunked whole-scene ESTM evaluation with static shapes.
 
