@@ -149,10 +149,72 @@ class WindowEvalDataset:
         folder = os.path.join(
             self.data_dir, scene if seq is None else f"{scene}/{seq}"
         )
+        self._folder = folder
         self.windows = build_windows(
             folder, self.seq_length, self.frame_interval, self.seq_inter,
             self.scannet_layout, self.eval_all,
         )
+
+    def sequence(self, max_windows: Optional[int] = None):
+        """The scene's sampled-frame sequence + window grid, for scan-mode
+        evaluation (tools/eval_joint.py --scan): every window is a
+        seq_length-slice of this sequence at a uniform stride, so the whole
+        chain can run as one lax.scan program.
+
+        Returns None when the window chain is NOT a gapless uniform grid —
+        pose-skipped windows (build_windows drops them, leaving gaps the
+        scan cannot express), --eval_all multi-offset enumeration, or a
+        seq_inter that is not a multiple of frame_interval — and the
+        caller falls back to the per-window loop.
+
+        Result dict: imgs [T, H, W, 3] / poses [T, 4, 4] / cam_intr [3, 3]
+        (T sampled frames, spaced frame_interval apart), window_stride (in
+        sampled frames), n_windows, and dmap_paths (GT read lazily at
+        scoring time — native-resolution depth for a whole scene is too
+        large to materialize up front).
+        """
+        if self.eval_all or self.seq_inter % self.frame_interval != 0:
+            return None
+        stride = self.seq_inter // self.frame_interval
+        triplets = _frame_paths(self._folder, self.scannet_layout)
+        num = len(triplets)
+        expected = len(
+            range(0, num - self.seq_length * self.frame_interval,
+                  self.seq_inter)
+        )
+        if expected == 0 or len(self.windows) != expected:
+            return None  # pose-skipped windows -> gapped chain
+        n_windows = expected
+        if max_windows:
+            n_windows = min(n_windows, max_windows)
+        t = (n_windows - 1) * stride + self.seq_length
+        imgs, poses, dmap_paths = [], [], []
+        for k in range(t):
+            img_path, dmap_path, pose_path = triplets[k * self.frame_interval]
+            imgs.append(
+                io_utils.read_image_rgb(img_path, self.width, self.height)
+            )
+            poses.append(io_utils.read_pose(pose_path))
+            dmap_paths.append(dmap_path)
+        return {
+            "imgs": np.stack(imgs).astype(np.float32),
+            "cam_poses": np.stack(poses).astype(np.float32),
+            "cam_intr": self.cam_intr,
+            "dmap_paths": dmap_paths,
+            "window_stride": stride,
+            "n_windows": n_windows,
+        }
+
+    def read_gt(self, dmap_path: str):
+        """Native-resolution GT depth + validity mask (same masking as
+        __getitem__)."""
+        dmap = io_utils.read_depth_mm(dmap_path)
+        mask = (
+            (dmap >= self.depth_min)
+            & (dmap <= self.depth_max)
+            & np.isfinite(dmap)
+        )
+        return np.where(mask, dmap, 0.0).astype(np.float32), mask
 
     def __len__(self):
         return len(self.windows)

@@ -85,6 +85,52 @@ def test_window_eval_dataset_scannet_layout(fake_scannet):
     assert s["dmaps"].shape[2:] == (48, 64)
 
 
+def test_window_sequence_matches_windows(fake_scannet):
+    """sequence() (scan-mode reader) == the per-window __getitem__ view:
+    every window is a seq_length-slice of the sampled sequence, and
+    read_gt reproduces the window's GT maps/masks."""
+    ds = WindowEvalDataset(
+        fake_scannet, height=32, width=40, seq_length=5, frame_interval=2,
+        scannet_layout=True,
+    )
+    ds.reset("scene0000_00")
+    seq = ds.sequence()
+    assert seq is not None
+    stride, nw = seq["window_stride"], seq["n_windows"]
+    assert nw == len(ds) and stride == 3
+    assert seq["imgs"].shape[0] == (nw - 1) * stride + 5
+    for wi in (0, 1, nw - 1):
+        s = ds[wi]
+        np.testing.assert_array_equal(
+            seq["imgs"][wi * stride : wi * stride + 5], s["imgs"][0]
+        )
+        np.testing.assert_allclose(
+            seq["cam_poses"][wi * stride : wi * stride + 5],
+            s["cam_poses"][0],
+        )
+        for ti in range(3):
+            gt, mask = ds.read_gt(seq["dmap_paths"][wi * stride + 1 + ti])
+            np.testing.assert_allclose(gt, s["dmaps"][0, ti])
+            np.testing.assert_array_equal(mask, s["dmasks"][0, ti])
+    trunc = ds.sequence(max_windows=2)
+    assert trunc["n_windows"] == 2
+    assert trunc["imgs"].shape[0] == stride + 5
+
+    # a pose-skipped window leaves a gap the scan cannot express ->
+    # sequence() refuses and the driver falls back to the window loop
+    poisoned = os.path.join(fake_scannet, "scene0001_00", "pose", "12.txt")
+    original = open(poisoned).read()
+    try:
+        bad = np.eye(4)
+        bad[0, 0] = np.inf
+        np.savetxt(poisoned, bad)
+        ds.reset("scene0001_00")
+        assert ds.sequence() is None
+    finally:
+        with open(poisoned, "w") as f:
+            f.write(original)
+
+
 def test_stream_eval_dataset(fake_scannet):
     ds = StreamEvalDataset(
         fake_scannet, height=32, width=40, frame_interval=2, scannet_layout=True

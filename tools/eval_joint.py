@@ -64,6 +64,20 @@ def parse_args():
                    help="also dump per-target init/refined probability maps "
                         "(eval_hybrid.py:59-62 save_init_prob/"
                         "save_refined_prob, default off there too)")
+    p.add_argument("--scan", action="store_true",
+                   help="whole-scene lax.scan evaluation: the window chain "
+                        "of a scene runs as ONE compiled program (zero "
+                        "per-window dispatch; identical outputs — "
+                        "tests/test_joint_scan.py). Scenes whose chain has "
+                        "pose-skip gaps, --eval-all, --keyframe-list, and "
+                        "--save-probs fall back to the window loop")
+    p.add_argument("--scene-batch", type=int, default=1,
+                   help="with --scan: evaluate N independent scenes per "
+                        "batched program (the batch axis never mixes)")
+    p.add_argument("--window-bucket", type=int, default=4,
+                   help="with --scan: round the program's window count up "
+                        "to a multiple of this (padded windows' outputs "
+                        "dropped), bounding recompiles across scene lengths")
     return p.parse_args()
 
 
@@ -144,6 +158,79 @@ class JointRunner:
         return depth, probs  # [B, T, 4, H, W], [B, T, 2, H, W] | None
 
 
+def run_scenes_scan(proc, variables, queued, args, outdir=None):
+    """Scan-mode evaluation of one batched group of scenes.
+
+    queued: list of (name, seq dict from WindowEvalDataset.sequence,
+    gt_fn(sampled_frame_index) -> (gt, mask) | None). All scenes run
+    through ONE compiled program: per-scene T is padded to a common
+    window grid (rounded up to --window-bucket to bound recompiles across
+    scene lengths) and the padded windows' outputs dropped.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    from estdepth_tpu.utils.viz import colorize_depth, save_image
+    from tools.eval_estm import score
+
+    stride = args.seq_length - 2
+    n_real = len(queued)
+    batch = list(queued)
+    while len(batch) < args.scene_batch:
+        # pad a partial final group to the compiled batch width by
+        # repeating the first scene (outputs dropped below)
+        batch.append(queued[0])
+    nws = [q[1]["n_windows"] for q in batch]
+    bucket = max(1, args.window_bucket)
+    nw_prog = -(-max(nws) // bucket) * bucket
+    t_prog = (nw_prog - 1) * stride + args.seq_length
+
+    def pad_t(x):
+        if x.shape[0] >= t_prog:
+            return x[:t_prog]
+        return np.concatenate(
+            [x, np.repeat(x[-1:], t_prog - x.shape[0], axis=0)], axis=0
+        )
+
+    imgs = np.stack([pad_t(q[1]["imgs"]) for q in batch])
+    poses = np.stack([pad_t(q[1]["cam_poses"]) for q in batch])
+    intr = np.stack([q[1]["cam_intr"] for q in batch])
+    t0 = time.perf_counter()
+    depths = np.asarray(
+        proc(variables, jnp.asarray(imgs), jnp.asarray(poses),
+             jnp.asarray(intr))
+    )  # [B, nw_prog, seq_length-2, 2, H, W] (scales 0, 2)
+    dt = time.perf_counter() - t0
+    n_targets = sum(nw * (args.seq_length - 2) for nw in nws[:n_real])
+    print(f"scan group of {n_real}: {n_targets} target frames in {dt:.1f}s "
+          f"({n_targets / dt:.2f} targets/s, program windows={nw_prog})")
+
+    errs = []
+    for i in range(n_real):
+        name, seq, gt_fn = queued[i]
+        for wi in range(seq["n_windows"]):
+            for ti in range(args.seq_length - 2):
+                refined = depths[i, wi, ti, 0]
+                gt = gt_fn(wi * stride + 1 + ti)
+                if gt is not None:
+                    errs.append(score(refined, gt[0], gt[1]))
+                base = os.path.join(outdir or "", f"{name}_{wi:04d}_{ti}")
+                if outdir and args.save_maps:
+                    # same two maps as the loop driver: refined scale-0 +
+                    # fused-head scale-2 (eval_hybrid.py:259-308)
+                    np.save(base + "_depth.npy",
+                            refined.astype(np.float16))
+                    np.save(base + "_init.npy",
+                            depths[i, wi, ti, 1].astype(np.float16))
+                    save_image(
+                        base + "_depth.jpg",
+                        colorize_depth(refined, args.depth_min,
+                                       args.depth_max),
+                    )
+    return errs
+
+
 def main():
     args = parse_args()
     print("args:", vars(args))  # print_args equivalent (utils/utils.py:8-12)
@@ -155,6 +242,21 @@ def main():
     ns = argparse.Namespace(**vars(args))
     ns.lwindow = args.seq_length
     model, variables = build_model_and_params(ns)
+    if args.scan and (args.save_probs or args.keyframe_list or
+                      args.eval_all):
+        print("note: --scan does not cover --save-probs/--keyframe-list/"
+              "--eval-all; using the window loop")
+        args.scan = False
+    proc = None
+    if args.scan:
+        from estdepth_tpu.eval.sequence import make_joint_processor
+
+        # fetch only the two saved/scored maps (refined scale-0, fused
+        # scale-2) — half the device->host transfer
+        proc = make_joint_processor(
+            model, seq_length=args.seq_length, est_on=not args.no_est,
+            output_scales=(0, 2),
+        )
     runner = JointRunner(model, variables, est_on=not args.no_est,
                          return_probs=args.save_probs)
     if args.outdir:
@@ -224,15 +326,40 @@ def main():
         print(f"keyframes: {len(ds)} windows")
     elif args.synthetic:
         from estdepth_tpu.data.synthetic import (
-            SyntheticSceneConfig, synthetic_window,
+            SyntheticSceneConfig, synthetic_stream, synthetic_window,
         )
 
         cfg = SyntheticSceneConfig(height=args.height, width=args.width)
-        windows = [
-            synthetic_window(cfg, n_frames=args.seq_length, start_frame=s)
-            for s in range(0, 9, 3)
-        ]
-        all_errs += eval_windows(iter(windows), "synthetic")
+        if args.scan:
+            # the same 3-window chain as the loop path, as one sampled
+            # sequence (synthetic_window/_stream render identical frames)
+            stride = args.seq_length - 2
+            frames = list(synthetic_stream(
+                cfg, n_frames=2 * stride + args.seq_length,
+            ))
+            seq = {
+                "imgs": np.stack(
+                    [f["img"] for f in frames]).astype(np.float32),
+                "cam_poses": np.stack(
+                    [f["cam_pose"] for f in frames]).astype(np.float32),
+                "cam_intr": frames[0]["cam_intr"].astype(np.float32),
+                "n_windows": 3,
+            }
+
+            def gt_fn(k):
+                return frames[k]["dmap"], frames[k]["dmask"]
+
+            all_errs += run_scenes_scan(
+                proc, variables, [("synthetic", seq, gt_fn)], args,
+                args.outdir,
+            )
+        else:
+            windows = [
+                synthetic_window(cfg, n_frames=args.seq_length,
+                                 start_frame=s)
+                for s in range(0, 9, 3)
+            ]
+            all_errs += eval_windows(iter(windows), "synthetic")
     else:
         from estdepth_tpu.data.eval_windows import (
             SEVEN_SCENES_TEST_SEQS, WindowEvalDataset,
@@ -253,6 +380,16 @@ def main():
             scene_seqs = [(s, None) for s in scenes]
         else:
             scene_seqs = SEVEN_SCENES_TEST_SEQS
+        scan_queue = []  # scenes awaiting one batched --scene-batch program
+
+        def flush_queue():
+            if not scan_queue:
+                return []
+            group = list(scan_queue)
+            scan_queue.clear()
+            return run_scenes_scan(proc, variables, group, args,
+                                   args.outdir)
+
         for scene, seq in scene_seqs:
             name = scene if seq is None else f"{scene}_{seq}"
             if args.outdir and args.save_maps:
@@ -263,9 +400,22 @@ def main():
                     print(f"{name}: outputs exist, skipping")
                     continue
             ds.reset(scene, seq)
+            if args.scan:
+                sq = ds.sequence(args.max_windows)
+                if sq is not None:
+                    def gt_fn(k, _paths=sq["dmap_paths"]):
+                        return ds.read_gt(_paths[k])
+
+                    scan_queue.append((name, sq, gt_fn))
+                    if len(scan_queue) >= args.scene_batch:
+                        all_errs += flush_queue()
+                    continue
+                print(f"{name}: window chain is not a gapless grid; "
+                      "loop fallback")
             errs = eval_windows((ds[i] for i in range(len(ds))), name)
             all_errs += errs
             print(f"{name}: {len(errs)} target frames")
+        all_errs += flush_queue()
 
     if all_errs:
         keys = ["abs_relative", "sq_relative", "rmse", "rmse_log",
