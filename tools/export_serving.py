@@ -55,6 +55,13 @@ def parse_args():
                    help="independent streams per exported step")
     p.add_argument("--lwindow", type=int, default=3)
     p.add_argument("--memory-size", type=int, default=2)
+    p.add_argument("--joint", action="store_true",
+                   help="export the Joint protocol instead (seq_length-"
+                        "frame windows advancing by seq_length-2, 3 "
+                        "target depths per window, 1-entry threaded "
+                        "memory); load with serving.load_joint")
+    p.add_argument("--seq-length", type=int, default=5,
+                   help="window length for --joint")
     p.add_argument("--scales", type=str, default="0",
                    help="comma-separated output depth scales (serving "
                         "default: refined scale-0 only)")
@@ -82,31 +89,72 @@ def build_model_and_params(args):
 
 
 def verify(args, model, variables, n_frames: int) -> float:
-    """Stream the same synthetic scene through the reloaded artifact and a
-    live ESTMRunner; return the max abs depth delta across frames."""
+    """Stream the same synthetic scene through the reloaded artifact and
+    the matching live runner (ESTMRunner / JointRunner); return the max
+    abs depth delta across emitted maps."""
     import jax.numpy as jnp
 
     from estdepth_tpu.data.synthetic import (
         SyntheticSceneConfig, synthetic_stream,
     )
-    from estdepth_tpu.eval.estm import ESTMRunner
-    from estdepth_tpu.serving import load_stream
 
     scales = tuple(int(s) for s in args.scales.split(","))
     out_dtype = jnp.bfloat16 if args.output_bf16 else None
+    cfg = SyntheticSceneConfig(
+        height=args.height, width=args.width, focal=args.width * 0.6
+    )
+    if args.joint:
+        # N counts windows in joint mode
+        stride = args.seq_length - 2
+        n_frames = max(n_frames, 1) * stride + 2
+    frames = list(synthetic_stream(
+        cfg, n_frames=n_frames,
+        depth_min=args.depth_min, depth_max=args.depth_max,
+    ))
+
+    if args.joint:
+        import numpy as _np
+
+        from estdepth_tpu.serving import load_joint
+        from tools.eval_joint import JointRunner
+
+        live = JointRunner(model, variables, est_on=True)
+        exported = load_joint(args.out)
+        lw, stride = args.seq_length, args.seq_length - 2
+        max_delta = 0.0
+        wi = 0
+        for fi, f in enumerate(frames):
+            d_exp = exported.push_frame(f["img"], f["cam_pose"],
+                                        f["cam_intr"])
+            if d_exp is None:
+                continue
+            s = wi * stride
+            d_live, _ = live.run_window(
+                jnp.asarray(_np.stack(
+                    [x["img"] for x in frames[s : s + lw]])[None]),
+                jnp.asarray(_np.stack(
+                    [x["cam_pose"] for x in frames[s : s + lw]])[None]),
+                jnp.asarray(f["cam_intr"][None]),
+            )
+            d_live = d_live[:, :, jnp.array(scales)]
+            if out_dtype is not None:
+                d_live = d_live.astype(out_dtype)
+            delta = float(jnp.max(jnp.abs(
+                d_live.astype(jnp.float32) - d_exp.astype(jnp.float32)
+            )))
+            max_delta = max(max_delta, delta)
+            wi += 1
+        return max_delta
+
+    from estdepth_tpu.eval.estm import ESTMRunner
+    from estdepth_tpu.serving import load_stream
+
     live = ESTMRunner(
         model, variables, args.height, args.width, lwindow=args.lwindow,
         memory_size=args.memory_size, batch=args.batch,
         output_scales=scales, output_dtype=out_dtype,
     )
     exported = load_stream(args.out)
-    cfg = SyntheticSceneConfig(
-        height=args.height, width=args.width, focal=args.width * 0.6
-    )
-    frames = list(synthetic_stream(
-        cfg, n_frames=n_frames,
-        depth_min=args.depth_min, depth_max=args.depth_max,
-    ))
     max_delta = 0.0
     for f in frames:
         d_live = live.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
@@ -124,22 +172,33 @@ def main():
     args = parse_args()
     import jax.numpy as jnp
 
-    from estdepth_tpu.serving import export_stream
+    from estdepth_tpu.serving import export_joint, export_stream
 
+    if args.joint:
+        args.lwindow = args.seq_length  # builder inits with a full window
     model, variables = build_model_and_params(args)
     scales = tuple(int(s) for s in args.scales.split(","))
     platforms = (
         tuple(args.platforms.split(",")) if args.platforms else None
     )
     t0 = time.perf_counter()
-    artifact = export_stream(
-        model, variables,
-        height=args.height, width=args.width, batch=args.batch,
-        lwindow=args.lwindow, memory_size=args.memory_size,
-        output_scales=scales,
-        output_dtype=jnp.bfloat16 if args.output_bf16 else None,
-        platforms=platforms,
-    )
+    if args.joint:
+        artifact = export_joint(
+            model, variables,
+            height=args.height, width=args.width, batch=args.batch,
+            seq_length=args.seq_length, output_scales=scales,
+            output_dtype=jnp.bfloat16 if args.output_bf16 else None,
+            platforms=platforms,
+        )
+    else:
+        artifact = export_stream(
+            model, variables,
+            height=args.height, width=args.width, batch=args.batch,
+            lwindow=args.lwindow, memory_size=args.memory_size,
+            output_scales=scales,
+            output_dtype=jnp.bfloat16 if args.output_bf16 else None,
+            platforms=platforms,
+        )
     artifact.save(args.out)
     n_bytes = len(artifact.first_blob) + len(artifact.steady_blob)
     print(
