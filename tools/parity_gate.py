@@ -57,10 +57,22 @@ def parse_args():
     p.add_argument("--resnet", type=int, default=50)
     p.add_argument("--depth-min", type=float, default=0.01)
     p.add_argument("--depth-max", type=float, default=10.0)
-    p.add_argument("--lwindow", type=int, default=3)
+    p.add_argument("--protocol", choices=["stream", "joint"],
+                   default="stream",
+                   help="'stream' gates the ESTM per-frame chain "
+                        "(eval_hybrid_seq.py deque protocol); 'joint' "
+                        "gates the Joint window chain — windows advancing "
+                        "by lwindow-2 with the last target's K/V threaded "
+                        "as pre_costs (eval_hybrid.py:229-243), driven "
+                        "through the shipped JointRunner")
+    p.add_argument("--lwindow", type=int, default=None,
+                   help="window length (default: 3 for stream, 5 for joint)")
     p.add_argument("--memory", type=int, default=2)
     p.add_argument("--max-frames", type=int, default=6,
-                   help="frames evaluated (reference torch-CPU is ~4 s/frame)")
+                   help="stream: frames evaluated (reference torch-CPU is "
+                        "~4 s/frame)")
+    p.add_argument("--windows", type=int, default=3,
+                   help="joint: chained windows evaluated")
     p.add_argument("--gate", type=float, default=1e-3,
                    help="max |abs_rel delta| to PASS (BASELINE.json)")
     p.add_argument("--geometric-pairing", action="store_true",
@@ -90,6 +102,12 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.lwindow is None:
+        args.lwindow = 5 if args.protocol == "joint" else 3
+    if args.protocol == "joint":
+        n_frames = (args.windows - 1) * (args.lwindow - 2) + args.lwindow
+    else:
+        n_frames = args.max_frames + args.lwindow - 1
     import torch
 
     from estdepth_tpu.eval.metric_offline import compute_errors
@@ -107,9 +125,8 @@ def main():
         )
 
         cfg = SyntheticSceneConfig(height=args.height, width=args.width)
-        n = args.max_frames + args.lwindow - 1
         frames = list(synthetic_stream(
-            cfg, n_frames=n, depth_min=args.depth_min,
+            cfg, n_frames=n_frames, depth_min=args.depth_min,
             depth_max=args.depth_max,
         ))
     else:
@@ -121,8 +138,7 @@ def main():
             depth_min=args.depth_min, depth_max=args.depth_max,
         )
         ds.reset(scene, seq or None)
-        frames = [ds[i] for i in range(
-            min(len(ds), args.max_frames + args.lwindow - 1))]
+        frames = [ds[i] for i in range(min(len(ds), n_frames))]
 
     # ---- weights (shared by construction) ----------------------------------
     if args.ndepths < 63:
@@ -183,71 +199,133 @@ def main():
             min_thred=max(args.depth_min, 0.3), max_thred=args.depth_max,
         )
 
-    # ---- ours: the shipped streaming driver --------------------------------
-    from estdepth_tpu.eval.estm import ESTMRunner
+    def _window_arrays(lo):
+        hi = lo + args.lwindow
+        imgs = np.stack(
+            [f["img"] for f in frames[lo:hi]]
+        )[None].astype(np.float32)
+        poses = np.stack(
+            [f["cam_pose"] for f in frames[lo:hi]]
+        )[None].astype(np.float32)
+        return imgs, poses
 
-    runner = ESTMRunner(
-        model, variables, args.height, args.width, lwindow=args.lwindow,
-        memory_size=args.memory,
-        reference_pose_pairing=not args.geometric_pairing,
-    )
-    ours = []
-    for i, f in enumerate(frames):
-        d = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
-        if d is not None:
-            ci = i - args.lwindow // 2  # center-frame convention
-            ours.append((np.asarray(d[0, 0]), frames[ci]))
-    our_scores = [s for dq, f in ours if (s := score(dq, f)) is not None]
+    if args.protocol == "joint":
+        # ---- ours: the shipped joint window-chain driver --------------
+        from tools.eval_joint import JointRunner
 
-    # ---- reference: the actual torch code, deque protocol ------------------
-    torch_scores = []
-    deq_costs, deq_poses = [], []
-    window = []
-    with torch.no_grad():
-        for i, f in enumerate(frames):
-            window.append(i)
-            if len(window) < args.lwindow:
-                continue
-            imgs = np.stack(
-                [frames[j]["img"] for j in window]
-            )[None].astype(np.float32)
-            poses = np.stack(
-                [frames[j]["cam_pose"] for j in window]
-            )[None].astype(np.float32)
-            t_imgs = torch.from_numpy(imgs).permute(0, 1, 4, 2, 3).contiguous()
-            if deq_poses:
-                pre_costs = {
-                    "keys": [d["keys"][0] for d in deq_costs],
-                    "values": [d["values"][0] for d in deq_costs],
-                }
-                pre_poses = [p[0] for p in deq_poses]
-            else:
-                pre_costs, pre_poses = None, None
-            sample = {
-                "dmaps": torch.zeros(1, args.lwindow, 1, 8, 8),
-                "dmasks": torch.zeros(1, args.lwindow, 1, 8, 8) > 0,
-            }
-            outputs, cur_costs, cur_poses = ref_model(
-                t_imgs, torch.from_numpy(poses),
-                torch.from_numpy(intr[None]), sample,
-                pre_costs, pre_poses, mode="val",
+        runner = JointRunner(
+            model, variables, est_on=True,
+            reference_pose_pairing=not args.geometric_pairing,
+        )
+        stride = args.lwindow - 2
+        starts = [w * stride for w in range(args.windows)]
+        our_scores, torch_scores = [], []
+        for lo in starts:
+            imgs, poses = _window_arrays(lo)
+            depth, _ = runner.run_window(
+                jnp.asarray(imgs), jnp.asarray(poses),
+                jnp.asarray(intr[None]),
             )
-            deq_costs.append(cur_costs)
-            deq_poses.append(cur_poses)
-            if len(deq_costs) > args.memory:
-                deq_costs.pop(0)
-                deq_poses.pop(0)
-            window.pop(0)
-            ci = i - args.lwindow // 2
-            dq = outputs[("depth", 0, 0)][0, 0].numpy()
-            s = score(dq, frames[ci])
-            if s is not None:
-                torch_scores.append(s)
-            print(f"reference frame {i}: done", flush=True)
+            for ti in range(args.lwindow - 2):
+                s = score(np.asarray(depth[0, ti, 0]), frames[lo + 1 + ti])
+                if s is not None:
+                    our_scores.append(s)
+
+        # ---- reference: the actual torch code, threaded pre_costs -----
+        # (eval_hybrid.py:229-243: the model's returned cur_costs/
+        # cur_poses pass straight back in as the next window's 1-entry
+        # memory)
+        pre_costs, pre_poses = None, None
+        with torch.no_grad():
+            for lo in starts:
+                imgs, poses = _window_arrays(lo)
+                t_imgs = torch.from_numpy(imgs).permute(
+                    0, 1, 4, 2, 3).contiguous()
+                sample = {
+                    "dmaps": torch.zeros(1, args.lwindow, 1, 8, 8),
+                    "dmasks": torch.zeros(1, args.lwindow, 1, 8, 8) > 0,
+                }
+                outputs, pre_costs, pre_poses = ref_model(
+                    t_imgs, torch.from_numpy(poses),
+                    torch.from_numpy(intr[None]), sample,
+                    pre_costs, pre_poses, mode="val",
+                )
+                for ti in range(args.lwindow - 2):
+                    dq = outputs[("depth", ti, 0)][0, 0].numpy()
+                    s = score(dq, frames[lo + 1 + ti])
+                    if s is not None:
+                        torch_scores.append(s)
+                print(f"reference window at {lo}: done", flush=True)
+    else:
+        # ---- ours: the shipped streaming driver ------------------------
+        from estdepth_tpu.eval.estm import ESTMRunner
+
+        runner = ESTMRunner(
+            model, variables, args.height, args.width,
+            lwindow=args.lwindow, memory_size=args.memory,
+            reference_pose_pairing=not args.geometric_pairing,
+        )
+        ours = []
+        for i, f in enumerate(frames):
+            d = runner.push_frame(f["img"], f["cam_pose"], f["cam_intr"])
+            if d is not None:
+                ci = i - args.lwindow // 2  # center-frame convention
+                ours.append((np.asarray(d[0, 0]), frames[ci]))
+        our_scores = [
+            s for dq, f in ours if (s := score(dq, f)) is not None
+        ]
+
+        # ---- reference: the actual torch code, deque protocol ----------
+        torch_scores = []
+        deq_costs, deq_poses = [], []
+        window = []
+        with torch.no_grad():
+            for i, f in enumerate(frames):
+                window.append(i)
+                if len(window) < args.lwindow:
+                    continue
+                imgs = np.stack(
+                    [frames[j]["img"] for j in window]
+                )[None].astype(np.float32)
+                poses = np.stack(
+                    [frames[j]["cam_pose"] for j in window]
+                )[None].astype(np.float32)
+                t_imgs = torch.from_numpy(imgs).permute(
+                    0, 1, 4, 2, 3).contiguous()
+                if deq_poses:
+                    pre_costs = {
+                        "keys": [d["keys"][0] for d in deq_costs],
+                        "values": [d["values"][0] for d in deq_costs],
+                    }
+                    pre_poses = [p[0] for p in deq_poses]
+                else:
+                    pre_costs, pre_poses = None, None
+                sample = {
+                    "dmaps": torch.zeros(1, args.lwindow, 1, 8, 8),
+                    "dmasks": torch.zeros(1, args.lwindow, 1, 8, 8) > 0,
+                }
+                outputs, cur_costs, cur_poses = ref_model(
+                    t_imgs, torch.from_numpy(poses),
+                    torch.from_numpy(intr[None]), sample,
+                    pre_costs, pre_poses, mode="val",
+                )
+                deq_costs.append(cur_costs)
+                deq_poses.append(cur_poses)
+                if len(deq_costs) > args.memory:
+                    deq_costs.pop(0)
+                    deq_poses.pop(0)
+                window.pop(0)
+                ci = i - args.lwindow // 2
+                dq = outputs[("depth", 0, 0)][0, 0].numpy()
+                s = score(dq, frames[ci])
+                if s is not None:
+                    torch_scores.append(s)
+                print(f"reference frame {i}: done", flush=True)
 
     # ---- diff --------------------------------------------------------------
     keys = sorted(our_scores[0]) if our_scores else []
-    result = {"frames": len(our_scores), "weights": src,
+    result = {"protocol": args.protocol, "frames": len(our_scores),
+              "weights": src,
               "pairing": ("geometric" if args.geometric_pairing
                           else "reference-strict"), "metrics": {}}
     for k in keys:
