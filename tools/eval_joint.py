@@ -402,6 +402,10 @@ def main():
             ds.reset(scene, seq)
             if args.scan:
                 sq = ds.sequence(args.max_windows)
+                if sq is not None and (
+                    sq["window_stride"] != args.seq_length - 2
+                ):
+                    sq = None  # non-default seq_inter: scan grid mismatch
                 if sq is not None:
                     def gt_fn(k, _paths=sq["dmap_paths"]):
                         return ds.read_gt(_paths[k])
