@@ -29,6 +29,9 @@ Prints ONE JSON line. Required keys {"metric", "value", "unit",
   - scan_pallas_as2d_fps (+ mfu_scan_pallas_as2d): warp kernels plus the
     EXACT conv3d-as-depth-shifted-conv2ds execution of the 3D stacks
     (models/layers.Decomp3DConv) — the post-warp-bottleneck candidate
+  - train_fast_step_ms / train_fast_steps_per_sec_chip: the fast-training
+    pick (plane-mix warps + conv3d-as-2d, targets the padded conv3d
+    backward temps) next to the exact train_step_ms
   - baseline: the traceable vs_baseline denominator — the reference
     PyTorch implementation measured on THIS host (tools/measure_baseline.py
     -> BASELINE_MEASURED.json); no GPU exists here and the reference
@@ -615,6 +618,41 @@ def main():
             t_step = (time.perf_counter() - t0) / n_train
             extras["train_step_ms"] = round(1e3 * t_step, 1)
             extras["train_steps_per_sec_chip"] = round(1.0 / t_step, 3)
+
+            # fast-training pick: plane-mix warps + conv3d-as-2d execution
+            # (tools/experiments/train_warp_modes.py measured 798 -> 503
+            # ms/step; end-metric drift characterized via
+            # parity_gate --variant plane_mix --conv3d-as2d)
+            try:
+                state = step_fn = None  # free the exact step's working set
+                fmodel = tmodel.clone(fast_frustum=True, conv3d_as2d=True)
+                fstate = create_train_state(
+                    fmodel, jax.random.key(0), batch, tx)
+                fstate = replicate(fstate, mesh)
+                fstep_fn = make_train_step(fmodel, tx, mesh, 0.01, 10.0)
+
+                def fast_step(st):
+                    b = dict(sharded)
+                    b["imgs"] = jnp.asarray(
+                        imgs_host
+                        + rng_b.normal(0, 1e-2, imgs_host.shape).astype(
+                            np.float32
+                        )
+                    )
+                    st, scalars = fstep_fn(st, b, jnp.float32(10.0))
+                    return st, float(scalars["loss"])
+
+                fstate, _ = fast_step(fstate)
+                fstate, _ = fast_step(fstate)
+                t0 = time.perf_counter()
+                for _ in range(n_train):
+                    fstate, _ = fast_step(fstate)
+                tf_step = (time.perf_counter() - t0) / n_train
+                extras["train_fast_step_ms"] = round(1e3 * tf_step, 1)
+                extras["train_fast_steps_per_sec_chip"] = round(
+                    1.0 / tf_step, 3)
+            except Exception as e:
+                extras["train_fast_error"] = f"{type(e).__name__}: {e}"[:120]
         except Exception as e:
             extras["train_error"] = f"{type(e).__name__}: {e}"[:120]
 
