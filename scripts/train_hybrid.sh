@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# The reference's training launch recipe (/root/reference/train_hybrid.sh:1-9)
+# mapped to the TPU build: batch 1/chip x all local chips, resnet-50,
+# ndepths 64, depth 0.1-10 m, Adam 4e-5, 7 epochs, step decay at 2,4,6.
+# torch.distributed.launch + apex sync-BN are unnecessary here: the shard_map
+# train step is SPMD over every visible chip with pmean sync-BN built in.
+# Pass DATAPATH=... (ScanNet root) or omit for a hermetic synthetic run.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+DATA_ARGS=${DATAPATH:+--datapath "$DATAPATH"}
+DATA_ARGS=${DATA_ARGS:---synthetic}
+LOGDIR=${LOGDIR:-./logs/hybrid_res50_ndepths64}
+mkdir -p "$LOGDIR"
+python tools/train.py $DATA_ARGS \
+  --logdir "$LOGDIR" \
+  --batch-per-device 1 --n-frames 5 --summary-freq 10 \
+  --epochs 7 --lr 0.00004 --lrepochs 2,4,6:2 \
+  --resnet 50 --ndepths 64 --no-est \
+  --depth-min 0.1 --depth-max 10.0 \
+  --bf16 "$@" | tee -a "$LOGDIR/log.txt"

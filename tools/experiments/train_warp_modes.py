@@ -48,13 +48,20 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--ndepths", type=int, default=64)
     ap.add_argument(
+        "--batch", type=int, default=1,
+        help="windows per device batch — each element is a DISTINCT "
+             "synthetic scene segment (identical per-element data distorts "
+             "relay timing, CLAUDE.md); the flagship direct-B=2 question")
+    ap.add_argument(
         "--modes", type=str,
         default="exact,plane_mix,pallas,as2d,plane_mix_as2d")
     args = ap.parse_args()
 
     cfg = SyntheticSceneConfig(height=args.height, width=args.width)
-    batch = {k: jnp.asarray(v)
-             for k, v in synthetic_window(cfg, n_frames=5).items()}
+    windows = [synthetic_window(cfg, n_frames=5, start_frame=10 * i)
+               for i in range(args.batch)]
+    batch = {k: jnp.asarray(np.concatenate([w[k] for w in windows], axis=0))
+             for k in windows[0]}
     mesh = create_mesh(1)
     tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
     rng_b = np.random.default_rng(1)
@@ -66,8 +73,8 @@ def main():
             resnet=50, est_transformer=True, bn_axis_name="data",
             dtype=jnp.bfloat16,
             fast_frustum=mode in ("plane_mix", "plane_mix_as2d"),
-            pallas_warp=mode == "pallas",
-            conv3d_as2d=mode in ("as2d", "plane_mix_as2d"),
+            pallas_warp=mode in ("pallas", "pallas_as2d"),
+            conv3d_as2d=mode in ("as2d", "plane_mix_as2d", "pallas_as2d"),
         )
         state = create_train_state(model, jax.random.key(0), batch, tx)
         state = replicate(state, mesh)
