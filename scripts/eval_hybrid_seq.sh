@@ -5,10 +5,14 @@
 # omit both for a hermetic synthetic run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-DATA_ARGS=${DATAPATH:+--datapath "$DATAPATH" --testlist estdepth_tpu/data/splits/test_split.txt --eval-dataset scannet}
-DATA_ARGS=${DATA_ARGS:---synthetic}
-CKPT_ARGS=${CKPT:+--ckpt "$CKPT"}
-python tools/eval_estm.py $DATA_ARGS ${CKPT_ARGS:-} \
+if [ -n "${DATAPATH:-}" ]; then
+  DATA_ARGS=(--datapath "$DATAPATH" --testlist estdepth_tpu/data/splits/test_split.txt --eval-dataset scannet)
+else
+  DATA_ARGS=(--synthetic)
+fi
+CKPT_ARGS=()
+[ -n "${CKPT:-}" ] && CKPT_ARGS=(--ckpt "$CKPT")
+python tools/eval_estm.py "${DATA_ARGS[@]}" ${CKPT_ARGS[@]+"${CKPT_ARGS[@]}"} \
   --outdir "${EVALPATH:-./output/hybrid_EST_ndepths64}" \
   --ndepths 64 --depth-min 0.1 --depth-max 10.0 \
   --save-maps "$@"

@@ -7,14 +7,20 @@
 # Pass DATAPATH=... (ScanNet root) or omit for a hermetic synthetic run.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-DATA_ARGS=${DATAPATH:+--datapath "$DATAPATH"}
-DATA_ARGS=${DATA_ARGS:---synthetic}
+if [ -n "${DATAPATH:-}" ]; then
+  DATA_ARGS=(--datapath "$DATAPATH")
+else
+  DATA_ARGS=(--synthetic)
+fi
 LOGDIR=${LOGDIR:-./logs/hybrid_res50_ndepths64}
 mkdir -p "$LOGDIR"
-python tools/train.py $DATA_ARGS \
+# --lrepochs matches the reference verbatim (train_hybrid.sh:6); the
+# epoch-8 step is a no-op at the default 7 epochs but keeps pass-through
+# --epochs overrides on the reference schedule.
+python tools/train.py "${DATA_ARGS[@]}" \
   --logdir "$LOGDIR" \
   --batch-per-device 1 --n-frames 5 --summary-freq 10 \
-  --epochs 7 --lr 0.00004 --lrepochs 2,4,6:2 \
+  --epochs 7 --lr 0.00004 --lrepochs 2,4,6,8:2 \
   --resnet 50 --ndepths 64 --no-est \
   --depth-min 0.1 --depth-max 10.0 \
   --bf16 "$@" | tee -a "$LOGDIR/log.txt"

@@ -2,8 +2,10 @@
 
 exact (shipping default), plane_mix (differentiable XLA reformulation),
 pallas (lane-gather forward + plane-mix-VJP backward), plus as2d /
-plane_mix_as2d (3x3x3 convs as depth-shifted conv2ds — targets the conv3d
-BACKWARD's padded gradient temps, models/layers.Decomp3DConv). Same
+plane_mix_as2d / pallas_as2d (3x3x3 convs as depth-shifted conv2ds —
+targets the conv3d BACKWARD's padded gradient temps,
+models/layers.Decomp3DConv; pallas_as2d stacks them on the warp kernels,
+the measured-fastest eval combo). Same
 anti-elision protocol as bench.py's train block: distinct batch per step,
 scalar fetch inside the timed region.
 
@@ -54,7 +56,9 @@ def main():
              "relay timing, CLAUDE.md); the flagship direct-B=2 question")
     ap.add_argument(
         "--modes", type=str,
-        default="exact,plane_mix,pallas,as2d,plane_mix_as2d")
+        default="exact,plane_mix,pallas,as2d,plane_mix_as2d",
+        help="comma list from {exact, plane_mix, pallas, as2d, "
+             "plane_mix_as2d, pallas_as2d}")
     args = ap.parse_args()
 
     cfg = SyntheticSceneConfig(height=args.height, width=args.width)
