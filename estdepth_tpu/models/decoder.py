@@ -153,12 +153,17 @@ class DepthHybridDecoder(nn.Module):
     # sub-plane-spacing deviation from the exact trilinear, so default off
     fast_frustum: bool = False
     pallas_warp: bool = False
+    # upgrade either fast mode with the slope-carry exact-z correction
+    # (ops/warp_exact_z.py): z deviation drops to second order for ~2x the
+    # fast warp's resample cost — the parity-fast combination
+    exact_z: bool = False
 
     @property
     def _frustum_mode(self) -> str:
+        ez = "_exact_z" if self.exact_z else ""
         if self.pallas_warp:
-            return "plane_mix_pallas"
-        return "plane_mix" if self.fast_frustum else "exact"
+            return "plane_mix_pallas" + ez
+        return ("plane_mix" + ez) if self.fast_frustum else "exact"
 
     def setup(self):
         # num_ch_dec = [16, 32, ndepths, 128, 256] (decoder :52)

@@ -1,0 +1,200 @@
+"""Exact-z frustum warp on the Pallas lane-gather kernels.
+
+Same math as ops/warp_exact_z.py (module doc there has the derivation),
+mapped onto the lane-gather two-pass machinery of ops/pallas/plane_warp.py:
+
+  K1'  tap+slope: one kernel emits the corner cell's z-slope
+       s = V[z0+1] - V[z0] and its zero-index extrapolation
+       A = V[z0] - z0 * s — the plane-mix z-lerp already gathers both
+       taps, so this costs only the extra output write
+  K2/K3 two-pass: the existing pass-1/pass-2 kernels resample the
+       [A | s] channel stack (2C f32 channels)
+  post: out = A~ + zi* * s~, gated by the exact OOB rule at zi*
+       (plain XLA elementwise, fuses)
+
+Unlike plane_warp.py there is NO int32-packed bf16 path: A carries the
+z0 * s cross term (|z0| up to Z-1), which a bf16 lane would quantize at
+2^-8 relative — amplified by the plane count into an error larger than
+the deviation being corrected.  bf16 volumes are unpacked to f32 lanes
+(2x the lane traffic of packed plane-mix; this is the accuracy mode) and
+the result is cast back.
+
+Cost at the flagship EST shape: the frustum warp pair runs the two-pass
+on a 2C stack instead of plane-mix's C — still far below the 26.9 ms
+exact trilinear gather — while the z deviation drops from first to
+second order (the remaining drift is the two-pass sub-pixel x deviation,
+which the correction tracks consistently because A and s ride the SAME
+two-pass).
+
+Trainable via the same pattern as the other kernels: custom VJP = the
+XLA exact-z formulation's gradient w.r.t. the volume at identical
+coordinates (sampling is linear in the source, so that IS the exact-z
+cotangent scatter), zero coordinate/pose cotangents (the reference's
+no_grad grid math, homo_utils.py:468).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from estdepth_tpu.ops.pallas.plane_warp import (
+    _P,
+    _check_lane_fit,
+    _corner,
+    _interpret,
+    _line_coeffs,
+    _row_tile,
+    _two_pass,
+)
+from estdepth_tpu.ops.warp_exact_z import (
+    apply_exact_z_correction,
+    zi_field,
+)
+
+
+def _tap_slope_kernel(vt_ref, zi_ref, a_ref, s_ref):
+    # vt [1, N, Z] f32; zi [1, N, D] f32; A/s [1, N, D] f32
+    # Corner z is clamped (exact-sampler rule), never zeroed; per-voxel
+    # validity is applied downstream at zi* (apply_exact_z_correction).
+    v = vt_ref[0]
+    zi = zi_ref[0]
+    z = v.shape[-1]
+    i0, _ = _corner(zi, z)
+    g0 = jnp.take_along_axis(v, i0, axis=1)
+    g1 = jnp.take_along_axis(v, i0 + 1, axis=1)
+    s = g1 - g0
+    a_ref[0] = g0 - i0.astype(jnp.float32) * s
+    s_ref[0] = s
+
+
+def _frustum_exact_z_impl(
+    volume: jnp.ndarray,       # [B, D, H, W, C]
+    t: jnp.ndarray,            # [B, 4, 4]
+    cam_intr: jnp.ndarray,     # [B, 3, 3]
+    depth_values: jnp.ndarray,  # [B, D]
+    depth_min: float,
+    depth_interval: float,
+    grid: jnp.ndarray,         # [3, H*W]
+    x: jnp.ndarray,            # [B, D*H*W]
+    y: jnp.ndarray,            # [B, D*H*W]
+    z: jnp.ndarray,            # [B, D*H*W] exact source depth
+) -> jnp.ndarray:
+    b, d, h, w, c = volume.shape
+    _check_lane_fit(depth=d, height=h, width=w)
+    f32 = jnp.float32
+    dtype = volume.dtype
+
+    zi = zi_field(t, cam_intr, depth_values, depth_min, depth_interval,
+                  grid)  # [B, D, HW]
+
+    # ---- K1': tap + slope lane gathers (see plane_warp._frustum_impl) ----
+    zi_t = jnp.transpose(zi, (0, 2, 1))  # [B, HW, D]
+    vt = jnp.transpose(
+        volume.astype(f32).reshape(b, d, h * w, c), (0, 3, 2, 1)
+    ).reshape(b * c, h * w, d)
+
+    tile = _row_tile(h * w, d)
+    afield, slope = pl.pallas_call(
+        _tap_slope_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * c, h * w, d), f32),
+            jax.ShapeDtypeStruct((b * c, h * w, d), f32),
+        ),
+        grid=(b * c, (h * w) // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(
+                (1, tile, d), lambda i, j, cc=c: (i // cc, j, 0)
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0)),
+        ),
+        interpret=_interpret(),
+    )(vt, zi_t)
+
+    # [B*C, HW, D] x2 -> per-plane [A | s] maps [B*D, H, 2*C, W]
+    def to_maps(arr):
+        return jnp.transpose(
+            arr.reshape(b, c, h, w, d), (0, 4, 2, 1, 3)
+        )  # [B, D, H, C, W]
+
+    maps_t = jnp.concatenate(
+        [to_maps(afield), to_maps(slope)], axis=3
+    ).reshape(b * d, h, 2 * c, w)
+
+    # ---- per-plane homographies (identical to plane_warp._frustum_impl) --
+    rot = t[:, :3, :3]
+    trans = t[:, :3, 3]
+    k_inv = jnp.linalg.inv(cam_intr)
+    m0 = jnp.einsum("bij,bjk->bik", rot, k_inv, precision=_P)
+    krk = jnp.einsum("bij,bjk->bik", cam_intr.astype(f32), m0, precision=_P)
+    kt = jnp.einsum("bij,bj->bi", cam_intr.astype(f32), trans, precision=_P)
+    hmat = depth_values[:, :, None, None].astype(f32) * krk[:, None]
+    hmat = hmat.at[:, :, :, 2].add(kt[:, None, :])
+    ab = _line_coeffs(hmat.reshape(b * d, 3, 3), w)
+
+    # ---- K2 + K3: resample the [A | s] stack ------------------------------
+    yq = jnp.transpose(y.astype(f32).reshape(b * d, h, w), (0, 2, 1))
+    xv = jnp.transpose(x.astype(f32).reshape(b * d, h, w), (0, 2, 1))
+    as_t = _two_pass(maps_t, ab, yq, xv, planes_per_map=1, packed=False)
+    # [B*D, Hout, W, 2*C]
+
+    zi_star = (z.astype(f32) - depth_min) / depth_interval
+    zi_star = zi_star.reshape(b * d, h * w)
+    out = apply_exact_z_correction(
+        as_t[..., :c].reshape(b * d, h * w, c),
+        as_t[..., c:].reshape(b * d, h * w, c),
+        zi_star, d, dtype,
+    )
+    return out.reshape(b, d, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _frustum_exact_z_diff(depth_min, depth_interval, volume, t, cam_intr,
+                          depth_values, grid, x, y, z):
+    return _frustum_exact_z_impl(volume, t, cam_intr, depth_values,
+                                 depth_min, depth_interval, grid, x, y, z)
+
+
+def _frustum_exact_z_fwd(depth_min, depth_interval, volume, t, cam_intr,
+                         depth_values, grid, x, y, z):
+    out = _frustum_exact_z_impl(volume, t, cam_intr, depth_values,
+                                depth_min, depth_interval, grid, x, y, z)
+    return out, (volume, t, cam_intr, depth_values, grid, x, y, z)
+
+
+def _frustum_exact_z_bwd(depth_min, depth_interval, res, ct):
+    from estdepth_tpu.ops.warp_exact_z import frustum_warp_exact_z
+
+    volume, t, cam_intr, depth_values, grid, x, y, z = res
+    _, vjp = jax.vjp(
+        lambda v: frustum_warp_exact_z(
+            v, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y, z,
+        ),
+        volume,
+    )
+    (dvol,) = vjp(ct)
+    zl = jnp.zeros_like
+    return (dvol, zl(t), zl(cam_intr), zl(depth_values), zl(grid),
+            zl(x), zl(y), zl(z))
+
+
+_frustum_exact_z_diff.defvjp(_frustum_exact_z_fwd, _frustum_exact_z_bwd)
+
+
+def frustum_warp_exact_z_pallas(
+    volume, t, cam_intr, depth_values, depth_min: float,
+    depth_interval: float, grid, x, y, z,
+) -> jnp.ndarray:
+    """Differentiable entry: Pallas forward, XLA-exact-z-VJP backward."""
+    return _frustum_exact_z_diff(
+        float(depth_min), float(depth_interval), volume, t, cam_intr,
+        depth_values, grid, x, y, z,
+    )

@@ -216,6 +216,12 @@ def frustum_warp(
         instead of the continuous sample point, a sub-plane-spacing
         deviation bounded by the plane's in-image depth slope
         (tests/test_warp.py pins the tolerance). zeros padding only.
+        "plane_mix_exact_z" — plane_mix plus a slope-carry correction to
+        the EXACT per-voxel z index (second-order residual,
+        ops/warp_exact_z.py; tests/test_exact_z_warp.py).
+        "plane_mix_pallas" / "plane_mix_pallas_exact_z" — the same two
+        fast modes with every gather as a VPU lane gather
+        (ops/pallas/plane_warp{,_exact_z}.py).
 
     Returns:
       [B, D, H, W, C] target-frustum volume, trilinear; out-of-range
@@ -234,23 +240,42 @@ def frustum_warp(
     pts = geometry.transform_points(t, pts)
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
 
+    if mode in ("plane_mix", "plane_mix_exact_z", "plane_mix_pallas",
+                "plane_mix_pallas_exact_z") and padding_mode != "zeros":
+        raise ValueError(f"{mode} supports zeros padding only")
     if mode == "plane_mix":
-        if padding_mode != "zeros":
-            raise ValueError("plane_mix supports zeros padding only")
         return _frustum_warp_planemix(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
             grid, x, y,
         )
+    if mode == "plane_mix_exact_z":
+        # plane_mix plus the slope-carry exact-z correction: the z-lerp
+        # index error drops from first to second order (ops/warp_exact_z.py)
+        from estdepth_tpu.ops.warp_exact_z import frustum_warp_exact_z
+
+        return frustum_warp_exact_z(
+            volume, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y, z,
+        )
     if mode == "plane_mix_pallas":
         # plane_mix with every gather on the VPU (lane-gather z-mix +
         # two-pass homography resample, ops/pallas/plane_warp.py)
-        if padding_mode != "zeros":
-            raise ValueError("plane_mix_pallas supports zeros padding only")
         from estdepth_tpu.ops.pallas.plane_warp import frustum_warp_pallas
 
         return frustum_warp_pallas(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
             grid, x, y,
+        )
+    if mode == "plane_mix_pallas_exact_z":
+        # the Pallas two-pass form with the same exact-z correction
+        # (ops/pallas/plane_warp_exact_z.py)
+        from estdepth_tpu.ops.pallas.plane_warp_exact_z import (
+            frustum_warp_exact_z_pallas,
+        )
+
+        return frustum_warp_exact_z_pallas(
+            volume, t, cam_intr, depth_values, depth_min, depth_interval,
+            grid, x, y, z,
         )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index

@@ -66,8 +66,8 @@ def test_model_conv3d_as2d_equivalence():
         ndepths=nd, depth_min=0.5, depth_max=8.0, resnet=18,
         est_transformer=True,
     )
-    plain = DepthNetHybrid(**kw)
-    as2d = DepthNetHybrid(conv3d_as2d=True, **kw)
+    plain = DepthNetHybrid(conv3d_as2d=False, **kw)
+    as2d = DepthNetHybrid(**kw)  # conv3d_as2d=True is the shipped default
 
     frames = list(
         synthetic_stream(

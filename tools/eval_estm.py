@@ -73,12 +73,27 @@ def parse_args():
                         "no gather engine on the critical path; implies "
                         "plane-mix z semantics plus a sub-pixel two-pass "
                         "deviation (test_pallas_warp.py). Eval-only.")
-    p.add_argument("--conv3d-as2d", action="store_true",
+    p.add_argument("--fetch-half", action="store_true",
+                   help="fetch the per-frame maps in bfloat16 instead of "
+                        "fp32 — protocol-exact (the reference saves "
+                        "float16 .npy, eval_hybrid_seq.py:200-258; the "
+                        "dumps here are float16 either way) and half the "
+                        "device->host transfer, the serving-latency "
+                        "streaming pick (bench streaming_fps protocol)")
+    p.add_argument("--exact-z", action="store_true",
+                   help="upgrade --fast-frustum / --pallas-warp with the "
+                        "slope-carry exact-z correction "
+                        "(ops/warp_exact_z.py): the fast warps' dominant "
+                        "deviation drops to second order for ~2x their "
+                        "resample cost — the parity-fast eval pick")
+    p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="run every 3x3x3 conv as three depth-shifted "
                         "conv2ds over a [B*D,H,W,C] fused batch "
                         "(models/layers.Decomp3DConv) — numerically exact, "
-                        "identical parameter tree; execution-strategy "
-                        "choice for shapes where conv3d tiles poorly")
+                        "identical parameter tree. Default ON (measured "
+                        "+11%% eval scan); --no-conv3d-as2d restores "
+                        "native conv3d lowering")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"
@@ -100,7 +115,8 @@ def build_model_and_params(args):
         dtype=jnp.bfloat16 if args.bf16 else None,
         fast_frustum=getattr(args, "fast_frustum", False),
         pallas_warp=getattr(args, "pallas_warp", False),
-        conv3d_as2d=getattr(args, "conv3d_as2d", False),
+        exact_z_warp=getattr(args, "exact_z", False),
+        conv3d_as2d=getattr(args, "conv3d_as2d", True),
     )
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -315,12 +331,16 @@ def main():
     from estdepth_tpu.eval.sequence import SequenceProcessor
 
     model, variables = build_model_and_params(args)
+    import jax.numpy as jnp
+
+    fetch_dtype = jnp.bfloat16 if getattr(args, "fetch_half", False) else None
     if args.scan:
         # fetch only the two scored maps (refined scale-0, fused scale-2):
         # half the device->host transfer per chunk
         proc = SequenceProcessor(
             model, variables, args.lwindow, args.memory_size,
             chunk=args.chunk, output_scales=(0, 2),
+            output_dtype=fetch_dtype,
         )
         runner = None
     else:
@@ -330,7 +350,7 @@ def main():
         runner = ESTMRunner(
             model, variables, args.height, args.width, args.lwindow,
             args.memory_size, return_probs=args.reference_layout,
-            output_scales=(0, 2),
+            output_scales=(0, 2), output_dtype=fetch_dtype,
         )
 
     scan_group = []  # scenes queued for one batched --scene-batch program

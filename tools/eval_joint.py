@@ -57,9 +57,13 @@ def parse_args():
                    help="plane-mix EST memory warps (see eval_estm.py)")
     p.add_argument("--pallas-warp", action="store_true",
                    help="Pallas lane-gather warps (see eval_estm.py)")
-    p.add_argument("--conv3d-as2d", action="store_true",
-                   help="exact 3x3x3-as-depth-shifted-conv2ds execution "
+    p.add_argument("--exact-z", action="store_true",
+                   help="slope-carry exact-z correction on the fast warps "
                         "(see eval_estm.py)")
+    p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="exact 3x3x3-as-depth-shifted-conv2ds execution "
+                        "(see eval_estm.py); default ON")
     p.add_argument("--save-probs", action="store_true",
                    help="also dump per-target init/refined probability maps "
                         "(eval_hybrid.py:59-62 save_init_prob/"

@@ -48,9 +48,13 @@ def parse_args():
     p.add_argument("--pallas-warp", action="store_true",
                    help="Pallas lane-gather warps (see eval_estm.py); "
                         "TPU-platform artifacts only")
-    p.add_argument("--conv3d-as2d", action="store_true",
-                   help="exact 3x3x3-as-depth-shifted-conv2ds execution "
+    p.add_argument("--exact-z", action="store_true",
+                   help="slope-carry exact-z correction on the fast warps "
                         "(see eval_estm.py)")
+    p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="exact 3x3x3-as-depth-shifted-conv2ds execution "
+                        "(see eval_estm.py); default ON")
     p.add_argument("--batch", type=int, default=1,
                    help="independent streams per exported step")
     p.add_argument("--lwindow", type=int, default=3)

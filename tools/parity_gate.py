@@ -81,20 +81,27 @@ def parse_args():
                         "(measures the documented deviation, not the gate)")
     p.add_argument("--json", type=str, default=None)
     p.add_argument("--variant",
-                   choices=["exact", "plane_mix", "pallas", "pallas_bf16"],
+                   choices=["exact", "plane_mix", "plane_mix_exact_z",
+                            "pallas", "pallas_exact_z", "pallas_bf16",
+                            "pallas_exact_z_bf16"],
                    default="exact",
                    help="warp backend for OUR side: 'exact' is the "
                         "reference-faithful default; 'plane_mix' / "
                         "'pallas' gate the fast eval paths' end-metric "
                         "drift against the actual reference (the gate "
                         "then measures approximation + float error); "
-                        "'pallas_bf16' additionally runs OUR model in "
+                        "'*_exact_z' adds the slope-carry exact-z "
+                        "correction (ops/warp_exact_z.py — the candidate "
+                        "that passes the 1e-3 gate on a fast backend); "
+                        "'*_bf16' additionally runs OUR model in "
                         "bfloat16, exercising the int32-packed kernels — "
                         "the flagship bench configuration")
-    p.add_argument("--conv3d-as2d", action="store_true",
+    p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="orthogonal to --variant: run OUR side's 3x3x3 "
                         "convs as depth-shifted conv2ds (exact "
-                        "decomposition, models/layers.Decomp3DConv) — "
+                        "decomposition, models/layers.Decomp3DConv; "
+                        "default ON — the shipped execution strategy) — "
                         "gates the eval execution-strategy flag "
                         "end-to-end against the actual reference")
     return p.parse_args()
@@ -151,9 +158,10 @@ def main():
     model = DepthNetHybrid(
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
-        fast_frustum=args.variant == "plane_mix",
+        fast_frustum=args.variant.startswith("plane_mix"),
         pallas_warp=args.variant.startswith("pallas"),
-        dtype=jnp.bfloat16 if args.variant == "pallas_bf16" else None,
+        exact_z_warp="exact_z" in args.variant,
+        dtype=jnp.bfloat16 if args.variant.endswith("bf16") else None,
         conv3d_as2d=args.conv3d_as2d,
     )
     if args.ckpt:

@@ -93,11 +93,18 @@ def parse_args():
                    help="train with the Pallas lane-gather warps: VPU "
                         "forward, plane-mix-VJP backward "
                         "(ops/pallas/plane_warp.py)")
-    p.add_argument("--conv3d-as2d", action="store_true",
+    p.add_argument("--exact-z", action="store_true",
+                   help="slope-carry exact-z correction on the fast warps "
+                        "(ops/warp_exact_z.py; differentiable on both "
+                        "fast backends)")
+    p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="evaluate 3x3x3 convs as depth-shifted conv2ds "
                         "(exact arithmetic; sidesteps the conv3d "
                         "backward's padded gradient temps — "
-                        "ARCHITECTURE.md headroom #1)")
+                        "ARCHITECTURE.md headroom #1). Default ON (measured "
+                        "1.41x train step); --no-conv3d-as2d restores "
+                        "native conv3d lowering")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forward during backward (larger batches)")
     p.add_argument("--remat-policy", default="nothing",
@@ -229,6 +236,7 @@ def main():
         depth_max=args.depth_max, resnet=args.resnet,
         est_transformer=not args.no_est, bn_axis_name="data",
         fast_frustum=args.fast_frustum, pallas_warp=args.pallas_warp,
+        exact_z_warp=args.exact_z,
         conv3d_as2d=args.conv3d_as2d,
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
