@@ -5,69 +5,171 @@ lwindow=3, memory_size=2) at the reference's "inference time" protocol
 (/root/reference/eval_hybrid_seq.py:179-184,259): each step consumes one new
 frame and emits one full-resolution depth map.
 
-Prints ONE JSON line. Required keys {"metric", "value", "unit",
-"vs_baseline"}; extra keys document the decomposition:
-  - streaming_fps: host-driven per-frame steps, async pipelined (the
-    deployment latency path; this is `value`). Each step fetches the two
-    maps the reference's protocol saves per frame (refined scale-0 +
-    fused scale-2, half precision — eval_hybrid_seq.py:200-258);
-    streaming_full_fetch_fps is the stricter all-4-scales-fp32 variant
-    (the r01 protocol)
-  - streaming_sync_ms: same step, blocked each frame (upper bound incl.
-    full dispatch+RPC round trip per frame)
-  - scan_fps: whole-scene lax.scan mode (eval/sequence.py) — ZERO per-frame
-    dispatch; the streaming-vs-scan gap measures host dispatch cost
+Prints EXACTLY ONE JSON line on stdout — guaranteed, even on timeout or a
+wedged backend. Required keys {"metric", "value", "unit", "vs_baseline"};
+extra keys document the decomposition:
+  - streaming_fps: host-driven per-frame steps at SHIPPED DEFAULTS
+    (conv3d_as2d execution, exact warps). This is `value`. Each step
+    fetches the two maps the reference's protocol saves per frame
+    (refined scale-0 + fused scale-2, half precision —
+    eval_hybrid_seq.py:200-258)
+  - streaming_pipelined_fps: same program, fetch pipelined one frame deep
+  - scan_fps (+ mfu_scan): whole-scene lax.scan mode (eval/sequence.py) —
+    ZERO per-frame dispatch; the honest compute ceiling of this relay
+  - scan_pallas_as2d_fps (+ mfu_scan_pallas_as2d): Pallas lane-gather warp
+    kernels (ops/pallas/plane_warp.py) on top of the default as2d
+    execution — the fast offline-eval pick
+  - train_step_ms / train_fast_step_ms: flagship train step at defaults /
+    with plane-mix warps (the fast-training pick)
+  - scan_no_as2d_fps: conv3d_as2d OFF — the A/B for the round-4 default
+    flip (native conv3d lowering)
   - window_gflops / achieved_tflops / mfu: compiled FLOPs from XLA
     cost_analysis, v5e bf16 peak 197 TFLOP/s
-  - pallas_streaming_fps: same pipeline with the fused Pallas EST-attention
-    kernel (ops/pallas/) — the measured Pallas-vs-XLA verdict
-  - scan_planemix_fps / scan_pallas_fps (+ mfu_scan_pallas) /
-    scan_batch4_pallas_total_fps / streaming_pallas_warp_fps
-    (+ _pipelined): the fast-warp variants (plane-mix reformulation and
-    the Pallas lane-gather kernels, ops/pallas/plane_warp.py) under the
-    same protocols; end-metric drift characterized in PARITY.md
-  - scan_pallas_as2d_fps (+ mfu_scan_pallas_as2d): warp kernels plus the
-    EXACT conv3d-as-depth-shifted-conv2ds execution of the 3D stacks
-    (models/layers.Decomp3DConv) — the post-warp-bottleneck candidate
-  - train_fast_step_ms / train_fast_steps_per_sec_chip: the fast-training
-    pick (plane-mix warps + conv3d-as-2d, targets the padded conv3d
-    backward temps) next to the exact train_step_ms
+  - truncated: sections skipped by the wall-clock budget (see below)
   - baseline: the traceable vs_baseline denominator — the reference
     PyTorch implementation measured on THIS host (tools/measure_baseline.py
-    -> BASELINE_MEASURED.json); no GPU exists here and the reference
-    publishes no numbers (BASELINE.md), so implementation-vs-implementation
-    on shared hardware is the only honest ratio.
+    -> BASELINE_MEASURED.json)
+
+Deadline discipline (round-4 redesign — BENCH_r03 was rc:124 with no JSON):
+  - a GLOBAL wall-clock budget (ESTDEPTH_BENCH_BUDGET_S, default 1800 s
+    from process start) is checked between sections; sections that would
+    not fit are skipped and listed under "truncated"
+  - the headline streaming number runs FIRST; every later section only
+    ADDS keys
+  - a daemon WATCHDOG thread emits the JSON line and exits the process at
+    budget + 120 s even if the main thread is wedged inside a C call
+    (backend init, a hung fetch RPC) — Python signal handlers cannot run
+    then, a thread can
+  - the TPU availability probe loop is capped at ~6 minutes total
 
 Measurement hygiene (ARCHITECTURE.md): every timed step consumes a DISTINCT
 freshly-uploaded frame AND every timed step's result is FETCHED to host.
 Both are load-bearing on this environment's remote-execution relay:
 repeated identical launches are elided, and `block_until_ready` WITHOUT a
-data fetch returns without forcing execution at all (measured: the same
-371-GFLOP step "completes" in 2.0 ms under block_until_ready-only timing —
-impossible — vs ~170 ms when the depth map is actually fetched). Fetches
-are timeout-protected; this environment's device->host path can wedge.
+data fetch returns without forcing execution at all. Fetches are
+timeout-protected; this environment's device->host path can wedge.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import threading
 import time
 
 import numpy as np
 
 N_TIMED = 30
-N_TIMED_PALLAS = 10
+N_TIMED_SHORT = 10
 SCAN_FRAMES = 20
 V5E_BF16_PEAK_FLOPS = 197e12
 FALLBACK_BASELINE_FPS = 12.5  # only if BASELINE_MEASURED.json is absent
+
+BUDGET_S = float(os.environ.get("ESTDEPTH_BENCH_BUDGET_S", "1800"))
+WATCHDOG_GRACE_S = 120.0
+_T0 = time.monotonic()
+_DEADLINE = _T0 + BUDGET_S
+
+# ---- always-emit machinery -------------------------------------------------
+
+extras: dict = {"truncated": []}
+_emit_lock = threading.Lock()
+_emitted = False
+
+
+def _remaining() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+def emit() -> None:
+    """Print the one JSON line from whatever has completed. Idempotent."""
+    global _emitted
+    with _emit_lock:
+        if _emitted:
+            return
+        _emitted = True
+        value = extras.get("streaming_fps")
+        if value is None:
+            # headline never completed: fall back to the best available
+            # throughput key so the driver still gets a number
+            for k in ("streaming_pipelined_fps", "scan_fps",
+                      "scan_pallas_as2d_fps"):
+                if k in extras:
+                    value = extras[k]
+                    extras["value_source"] = k
+                    break
+        if value is None:
+            value = 0.0
+            extras["value_source"] = "none_completed"
+        baseline = extras.get("baseline", {}).get(
+            "fps", FALLBACK_BASELINE_FPS
+        )
+        if not extras["truncated"]:
+            del extras["truncated"]
+        extras["elapsed_s"] = round(time.monotonic() - _T0, 1)
+        print(
+            json.dumps(
+                {
+                    "metric": "estm_streaming_throughput",
+                    "value": round(float(value), 3),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round(float(value) / baseline, 3),
+                    **extras,
+                }
+            ),
+            flush=True,
+        )
+
+
+def _watchdog() -> None:
+    # A thread, not SIGALRM: a main thread wedged inside a C call (backend
+    # init, fetch RPC) never runs Python signal handlers; a daemon thread
+    # still gets scheduled.
+    dt = _DEADLINE + WATCHDOG_GRACE_S - time.monotonic()
+    if dt > 0:
+        time.sleep(dt)
+    if not _emitted:
+        extras.setdefault("truncated", []).append("WATCHDOG_FIRED")
+        print("bench WATCHDOG fired: emitting partial results",
+              file=sys.stderr, flush=True)
+        emit()
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _section(name: str, min_s: float):
+    """Decorator-ish runner: skip when the budget cannot fit the section."""
+
+    def _run(fn):
+        if _remaining() < min_s:
+            extras["truncated"].append(name)
+            _log(f"SKIP {name}: {_remaining():.0f}s left < {min_s:.0f}s")
+            return
+        _log(f"section {name} (budget left {_remaining():.0f}s)")
+        t0 = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — a section must never kill emit
+            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:160]
+            _log(f"section {name} FAILED: {type(e).__name__}: {e}")
+        finally:
+            _log(f"section {name} done in {time.monotonic() - t0:.1f}s")
+
+    return _run
 
 
 def _fetch_with_timeout(x, seconds=180.0, label=""):
     """np.asarray(x) bounded by a timeout; falls back to block_until_ready."""
     import jax
 
+    seconds = max(30.0, min(seconds, _remaining() - 30.0))
     done = threading.Event()
 
     def _run():
@@ -79,11 +181,9 @@ def _fetch_with_timeout(x, seconds=180.0, label=""):
     th = threading.Thread(target=_run, daemon=True)
     th.start()
     if not done.wait(timeout=seconds):
-        import sys
-
         jax.block_until_ready(x)
-        print(f"WARNING: fetch timed out ({label}); "
-              "block_until_ready-based timing", file=sys.stderr, flush=True)
+        _log(f"WARNING: fetch timed out ({label}); "
+             "block_until_ready-based timing")
         return False
     return True
 
@@ -115,8 +215,7 @@ def _time_streaming(runner, frames, n_timed, pipeline=False):
             np.asarray(out)
         fps = n_timed / (time.perf_counter() - t0)
         # host-side cost of the async dispatch itself (arg flattening +
-        # upload + enqueue RPC; execution+fetch excluded) — the VERDICT #7
-        # decomposition of the streaming-vs-scan gap
+        # upload + enqueue RPC; execution+fetch excluded)
         _time_streaming.last_dispatch_ms = 1e3 * t_dispatch / n_timed
         return fps
     prev = None
@@ -130,30 +229,47 @@ def _time_streaming(runner, frames, n_timed, pipeline=False):
     return n_timed / (time.perf_counter() - t0)
 
 
-def main():
-    from estdepth_tpu.utils.platform import enable_compilation_cache
+def _load_baseline() -> None:
+    mb_path = os.path.join(os.path.dirname(__file__) or ".",
+                           "BASELINE_MEASURED.json")
+    if os.path.exists(mb_path):
+        with open(mb_path) as f:
+            mb = json.load(f)
+        extras["baseline"] = {
+            "fps": mb["reference_torch_cpu"]["fps"],
+            "source": "reference torch implementation measured on this "
+                      "host's CPU, identical weights+protocol "
+                      "(BASELINE_MEASURED.json)",
+            "our_jax_cpu_fps": mb["estdepth_tpu_jax_cpu"]["fps"],
+        }
+    else:
+        extras["baseline"] = {
+            "fps": FALLBACK_BASELINE_FPS,
+            "source": "ASSUMED (no BASELINE_MEASURED.json; run "
+                      "tools/measure_baseline.py)",
+        }
 
-    enable_compilation_cache()
 
-    # The TPU relay in this environment has multi-hour outage windows
-    # (backend init raises UNAVAILABLE or hangs — and a failed in-process
-    # init is cached by jax for the life of the interpreter). The driver
-    # runs bench once per round, so probe availability in a SUBPROCESS
-    # (fresh interpreter per attempt) and wait out a transient outage
-    # before touching jax in this process.
+def _probe_backend() -> None:
+    """Wait out a transient TPU-relay outage, capped at ~6 minutes total.
+
+    Probe in a SUBPROCESS: a failed in-process backend init is cached by
+    jax for the life of the interpreter. NEVER SIGKILL a hung probe: a
+    kill -9'd TPU process can wedge the chip claim (CLAUDE.md)."""
     import subprocess
-    import sys
-    for attempt in range(10):
-        # NEVER SIGKILL a hung probe: a kill -9'd TPU process can wedge the
-        # chip claim (CLAUDE.md), making the next probe hang too. SIGTERM
-        # with a grace period lets the child release its claim.
+
+    probe_deadline = min(_T0 + 360.0, _DEADLINE - 60.0)
+    attempt = 0
+    while time.monotonic() < probe_deadline:
+        attempt += 1
         p = subprocess.Popen(
             [sys.executable, "-c", "import jax; jax.devices()"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         try:
-            if p.wait(timeout=180) == 0:
-                break
+            if p.wait(timeout=min(120, probe_deadline - time.monotonic()
+                                  + 30)) == 0:
+                return
         except subprocess.TimeoutExpired:
             p.terminate()
             try:
@@ -161,13 +277,22 @@ def main():
             except subprocess.TimeoutExpired:
                 p.kill()
                 p.wait()
-        if attempt == 9:
-            print("WARNING: backend still unavailable after 10 probes; "
-                  "proceeding anyway", file=sys.stderr, flush=True)
-            break
-        print(f"WARNING: backend unavailable; probe {attempt + 1}/10, "
-              "retry in 120 s", file=sys.stderr, flush=True)
-        time.sleep(120.0)
+        _log(f"backend unavailable (probe {attempt}); retry in 45 s")
+        time.sleep(min(45.0, max(0.0, probe_deadline - time.monotonic())))
+    _log("WARNING: probe window exhausted; proceeding anyway")
+
+
+def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _load_baseline()
+
+    from estdepth_tpu.utils.platform import apply_platform_env
+
+    # honors ESTDEPTH_PLATFORM=cpu for hermetic smoke runs; on the default
+    # TPU path it just enables the persistent compile cache
+    apply_platform_env()
+    if not os.environ.get("ESTDEPTH_PLATFORM"):
+        _probe_backend()
 
     import jax
     import jax.numpy as jnp
@@ -180,7 +305,7 @@ def main():
     from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
     h, w, nd = 256, 320, 64
-    extras = {}
+    # SHIPPED DEFAULTS: conv3d_as2d=True execution, exact warps
     model = DepthNetHybrid(
         ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
         est_transformer=True, dtype=jnp.bfloat16,
@@ -191,57 +316,112 @@ def main():
     imgs0 = jnp.asarray(np.stack([f["img"] for f in frames[:3]])[None])
     poses0 = jnp.asarray(np.stack([f["cam_pose"] for f in frames[:3]])[None])
     intr0 = jnp.asarray(frames[0]["cam_intr"][None])
-    # jitted init: eager init is pathologically slow on remote TPU backends
+    if _remaining() < 90:
+        extras["truncated"].append("init")
+        emit()
+        return
+    _log("init (jitted: eager init is pathologically slow on this relay)")
     variables = jax.jit(
         lambda r, i, p, k: model.init(r, i, p, k, train=False)
     )(jax.random.key(0), imgs0, poses0, intr0)
 
-    # ---- streaming (deployment path: fetch every frame's depth) ---------
-    # The fetched payload matches the reference's output protocol: it saves
-    # exactly TWO maps per frame — refined scale-0 and fused scale-2 — as
-    # float16 (eval_hybrid_seq.py:200-258). Fetching all 4 scales in fp32
-    # (8x the bytes) is measured separately as streaming_full_fetch_fps.
-    # one retry: the remote compile service occasionally 500s transiently,
-    # and the driver needs the primary metric even then
-    for attempt in range(2):
-        try:
-            runner = ESTMRunner(
-                model, variables, h, w, lwindow=3, memory_size=2,
-                output_scales=(0, 2), output_dtype=jnp.bfloat16,
+    # shared scan-section state (filled by the scan section, reused later)
+    state: dict = {}
+
+    # ---- 1. headline: streaming at defaults, protocol-exact fetch --------
+    @_section("streaming", min_s=0)
+    def _streaming():
+        # one retry: the remote compile service occasionally 500s transiently
+        for attempt in range(2):
+            try:
+                runner = ESTMRunner(
+                    model, variables, h, w, lwindow=3, memory_size=2,
+                    output_scales=(0, 2), output_dtype=jnp.bfloat16,
+                )
+                fps = _time_streaming(runner, frames, N_TIMED)
+                break
+            except Exception:
+                if attempt == 1 or _remaining() < 120:
+                    raise
+                time.sleep(20.0)
+        extras["streaming_fps"] = round(fps, 3)
+        extras["streaming_ms_per_frame"] = round(1e3 / fps, 2)
+        if hasattr(_time_streaming, "last_dispatch_ms"):
+            extras["dispatch_host_ms_per_frame"] = round(
+                _time_streaming.last_dispatch_ms, 2
             )
-            streaming_fps = _time_streaming(runner, frames, N_TIMED)
-            break
-        except Exception:
-            if attempt == 1:
-                raise
-            time.sleep(20.0)
-    extras["streaming_fps"] = round(streaming_fps, 3)
-    extras["streaming_ms_per_frame"] = round(1e3 / streaming_fps, 2)
-    if hasattr(_time_streaming, "last_dispatch_ms"):
-        # host dispatch (arg flatten + upload + enqueue) vs the rest of the
-        # per-frame overhead (execution + ~30 ms fetch RPC)
-        extras["dispatch_host_ms_per_frame"] = round(
-            _time_streaming.last_dispatch_ms, 2
+        state["runner"] = runner
+
+    # ---- 2. same program, fetch pipelined one frame deep -----------------
+    @_section("streaming_pipelined", min_s=45)
+    def _pipelined():
+        fps = _time_streaming(state["runner"], frames, N_TIMED,
+                              pipeline=True)
+        extras["streaming_pipelined_fps"] = round(fps, 3)
+
+    # ---- 3. whole-scene lax.scan mode (zero per-frame dispatch) ----------
+    def _scan_measure(proc, label, fetch_s=240.0):
+        """Warm-compile on clip A, time a DISTINCT clip B, fetch inside the
+        timed region (only a fetch forces execution on this relay)."""
+        if "clips" not in state:
+            sf = list(synthetic_stream(cfg, n_frames=2 * SCAN_FRAMES))
+
+            def clip(fr):
+                return (
+                    jnp.asarray(np.stack([f["img"] for f in fr])[None]),
+                    jnp.asarray(np.stack([f["cam_pose"] for f in fr])[None]),
+                )
+
+            state["clips"] = (clip(sf[:SCAN_FRAMES]), clip(sf[SCAN_FRAMES:]))
+        (ca_i, ca_p), (cb_i, cb_p) = state["clips"]
+        _fetch_with_timeout(proc(variables, ca_i, ca_p, intr0),
+                            seconds=fetch_s, label=f"{label}-warmup")
+        n_windows = SCAN_FRAMES - 3 + 1
+        t0 = time.perf_counter()
+        depths = proc(variables, cb_i, cb_p, intr0)
+        _fetch_with_timeout(depths, seconds=fetch_s, label=label)
+        return n_windows / (time.perf_counter() - t0)
+
+    @_section("scan", min_s=150)
+    def _scan():
+        proc = make_sequence_processor(
+            model, lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
         )
+        fps = _scan_measure(proc, "scan")
+        extras["scan_fps"] = round(fps, 3)
+        if "streaming_fps" in extras:
+            extras["dispatch_overhead_ms_per_frame"] = round(
+                1e3 / extras["streaming_fps"] - 1e3 / fps, 2
+            )
 
-    try:
-        # fetch t-1 while t computes: transfer overlaps the next step
-        pfps = _time_streaming(runner, frames, N_TIMED, pipeline=True)
-        extras["streaming_pipelined_fps"] = round(pfps, 3)
-    except Exception as e:
-        extras["pipelined_error"] = f"{type(e).__name__}: {e}"[:120]
+    # ---- 4. Pallas lane-gather warps + as2d (fast offline-eval pick) -----
+    @_section("scan_pallas_as2d", min_s=150)
+    def _scan_pallas():
+        proc = make_sequence_processor(
+            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        fps = _scan_measure(proc, "scan-pallas-as2d")
+        extras["scan_pallas_as2d_fps"] = round(fps, 3)
+        state["proc_pallas"] = proc
 
-    try:
-        frunner = ESTMRunner(model, variables, h, w, lwindow=3, memory_size=2)
-        ffps = _time_streaming(frunner, frames[: 6 + N_TIMED_PALLAS],
-                               N_TIMED_PALLAS)
-        extras["streaming_full_fetch_fps"] = round(ffps, 3)
-        del frunner
-    except Exception as e:
-        extras["full_fetch_error"] = f"{type(e).__name__}: {e}"[:120]
+    # ---- 4b. Pallas warps + exact-z correction (the parity-fast pick) -----
+    @_section("scan_pallas_exact_z", min_s=150)
+    def _scan_pallas_exact_z():
+        # slope-carry exact-z correction (ops/warp_exact_z.py): second-order
+        # z deviation instead of plane-mix's first-order — the candidate
+        # that makes "fast" and "<=1e-3 parity" coexist (round-4 VERDICT #3)
+        proc = make_sequence_processor(
+            model.clone(pallas_warp=True, exact_z_warp=True), lwindow=3,
+            memory_size=2, output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        fps = _scan_measure(proc, "scan-pallas-exact-z")
+        extras["scan_pallas_exact_z_fps"] = round(fps, 3)
 
-    # ---- compiled FLOPs / MFU of the steady-state window step -----------
-    try:
+    # ---- 5. compiled FLOPs -> MFU for every *_fps measured so far --------
+    @_section("flops", min_s=90)
+    def _flops():
         mem = ESTMemory.create(1, 2, nd, h // 4, w // 4, 16)
         mem = mem.replace(valid=jnp.ones_like(mem.valid))
         feats2 = jnp.zeros((1, 2, h // 4, w // 4, 32), jnp.bfloat16)
@@ -266,67 +446,150 @@ def main():
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            extras["window_gflops"] = round(flops / 1e9, 1)
-            extras["achieved_tflops"] = round(flops * streaming_fps / 1e12, 3)
-            extras["mfu"] = round(
-                flops * streaming_fps / V5E_BF16_PEAK_FLOPS, 5
-            )
-    except Exception as e:  # cost_analysis unsupported on some backends
-        extras["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
+        if flops <= 0:
+            return
+        extras["window_gflops"] = round(flops / 1e9, 1)
+        for fps_key, mfu_key in (
+            ("streaming_fps", "mfu"),
+            ("scan_fps", "mfu_scan"),
+            ("scan_pallas_as2d_fps", "mfu_scan_pallas_as2d"),
+        ):
+            if fps_key in extras:
+                extras[mfu_key] = round(
+                    flops * extras[fps_key] / V5E_BF16_PEAK_FLOPS, 5
+                )
+        if "streaming_fps" in extras:
+            extras["achieved_tflops"] = round(
+                flops * extras["streaming_fps"] / 1e12, 3)
+        if "scan_fps" in extras:
+            extras["achieved_tflops_scan"] = round(
+                flops * extras["scan_fps"] / 1e12, 3)
 
-    # ---- whole-scene lax.scan mode (zero per-frame dispatch) -------------
-    try:
-        # same fetch protocol as the primary streaming metric (the two maps
-        # the reference saves, half precision) so the streaming-vs-scan gap
-        # isolates dispatch, not transfer size
-        proc = make_sequence_processor(
-            model, lwindow=3, memory_size=2,
+    # ---- 6./7. training throughput (flagship config, single chip) --------
+    def _train_variant(tmodel, prefix, n_steps=5):
+        from estdepth_tpu.data.synthetic import synthetic_window
+        from estdepth_tpu.parallel.mesh import (
+            create_mesh, replicate, shard_batch,
+        )
+        from estdepth_tpu.train.schedule import warmup_multistep_schedule
+        from estdepth_tpu.train.trainer import (
+            create_train_state, make_optimizer, make_train_step,
+        )
+
+        # free the eval-side device state: the train step's working set is
+        # most of HBM
+        state.pop("runner", None)
+        state.pop("proc_pallas", None)
+
+        mesh = create_mesh(1)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_window(cfg, n_frames=5).items()
+        }
+        tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
+        tstate = create_train_state(tmodel, jax.random.key(0), batch, tx)
+        tstate = replicate(tstate, mesh)
+        sharded = shard_batch(batch, mesh)
+        step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
+        rng_b = np.random.default_rng(1)
+        imgs_host = np.asarray(batch["imgs"])
+
+        def one_step(st):
+            # distinct batch + scalar fetch: anti-elision hygiene
+            b = dict(sharded)
+            b["imgs"] = jnp.asarray(
+                imgs_host
+                + rng_b.normal(0, 1e-2, imgs_host.shape).astype(np.float32)
+            )
+            st, scalars = step_fn(st, b, jnp.float32(10.0))
+            return st, float(scalars["loss"])
+
+        tstate, _ = one_step(tstate)
+        tstate, _ = one_step(tstate)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            tstate, _ = one_step(tstate)
+        t_step = (time.perf_counter() - t0) / n_steps
+        extras[f"{prefix}_step_ms"] = round(1e3 * t_step, 1)
+        extras[f"{prefix}_steps_per_sec_chip"] = round(1.0 / t_step, 3)
+
+    @_section("train_fast", min_s=420)
+    def _train_fast():
+        # fast-training pick: plane-mix warps on top of the default as2d
+        # execution (train_warp_modes.py measured 556 vs 783 ms/step exact)
+        tmodel = DepthNetHybrid(
+            ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
+            est_transformer=True, bn_axis_name="data", dtype=jnp.bfloat16,
+            fast_frustum=True,
+        )
+        _train_variant(tmodel, "train_fast")
+
+    @_section("train", min_s=420)
+    def _train():
+        tmodel = DepthNetHybrid(
+            ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
+            est_transformer=True, bn_axis_name="data", dtype=jnp.bfloat16,
+        )
+        _train_variant(tmodel, "train")
+
+    # ---- 8. online streaming with the Pallas warps (serving latency) -----
+    @_section("streaming_pallas_warp", min_s=200)
+    def _streaming_pallas():
+        wrunner = ESTMRunner(
+            model.clone(pallas_warp=True), variables, h, w,
+            lwindow=3, memory_size=2,
             output_scales=(0, 2), output_dtype=jnp.bfloat16,
         )
-        sf = list(synthetic_stream(cfg, n_frames=2 * SCAN_FRAMES))
-
-        def clip(fr):
-            return (
-                jnp.asarray(np.stack([f["img"] for f in fr])[None]),
-                jnp.asarray(np.stack([f["cam_pose"] for f in fr])[None]),
-            )
-
-        ca_imgs, ca_poses = clip(sf[:SCAN_FRAMES])      # compile clip
-        cb_imgs, cb_poses = clip(sf[SCAN_FRAMES:])      # distinct timed clip
-        # fetch (not just block) the warmup so no deferred work leaks into
-        # the timed region
-        _fetch_with_timeout(
-            proc(variables, ca_imgs, ca_poses, intr0), label="scan-warmup",
+        fps = _time_streaming(
+            wrunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
         )
-        n_windows = SCAN_FRAMES - 3 + 1
-        # the host fetch is INSIDE the timed region: on this relay only a
-        # fetch forces execution (block_until_ready alone does not)
-        t0 = time.perf_counter()
-        depths = proc(variables, cb_imgs, cb_poses, intr0)
-        _fetch_with_timeout(depths, seconds=180.0, label="scan")
-        dt = time.perf_counter() - t0
-        scan_fps = n_windows / dt
-        extras["scan_fps"] = round(scan_fps, 3)
-        extras["dispatch_overhead_ms_per_frame"] = round(
-            1e3 / streaming_fps - 1e3 * dt / n_windows, 2
+        extras["streaming_pallas_warp_fps"] = round(fps, 3)
+        pfps = _time_streaming(
+            wrunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT,
+            pipeline=True,
         )
-        if "window_gflops" in extras:
-            # the honest compute ceiling: scan mode has zero per-frame
-            # dispatch, so its MFU measures the kernel schedule, not the
-            # relay's per-frame RPC floor (VERDICT r02 weak #2)
-            sflops = extras["window_gflops"] * 1e9 * scan_fps
-            extras["achieved_tflops_scan"] = round(sflops / 1e12, 3)
-            extras["mfu_scan"] = round(sflops / V5E_BF16_PEAK_FLOPS, 5)
-    except Exception as e:
-        extras["scan_error"] = f"{type(e).__name__}: {e}"[:120]
+        extras["streaming_pallas_warp_pipelined_fps"] = round(pfps, 3)
 
-    # ---- batched-scene scan (offline eval throughput) ---------------------
-    # 4 INDEPENDENT scenes through ONE scan program (the processor is
-    # batch-generic): this is how the TPU beats the reference's
-    # one-scene-at-a-time offline loop (eval_hybrid_seq.py:124-193).
-    # 8 distinct scenes total: 4 warm up the compile, 4 are timed.
-    try:
+    # ---- 9. serving: scale-0-only bf16 fetch (min transfer) --------------
+    @_section("serving_scale0", min_s=150)
+    def _serving():
+        srunner = ESTMRunner(
+            model, variables, h, w, lwindow=3, memory_size=2,
+            output_scales=(0,), output_dtype=jnp.bfloat16,
+        )
+        fps = _time_streaming(
+            srunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
+        )
+        extras["serving_scale0_bf16_fps"] = round(fps, 3)
+
+    # ---- 10. plane-mix scan (XLA fast warp, no Pallas) --------------------
+    @_section("scan_planemix", min_s=150)
+    def _scan_planemix():
+        proc = make_sequence_processor(
+            model.clone(fast_frustum=True), lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        extras["scan_planemix_fps"] = round(
+            _scan_measure(proc, "scan-planemix"), 3)
+
+    # ---- 11. conv3d_as2d OFF: the A/B for the round-4 default flip --------
+    @_section("scan_no_as2d", min_s=150)
+    def _scan_no_as2d():
+        proc = make_sequence_processor(
+            model.clone(conv3d_as2d=False), lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        extras["scan_no_as2d_fps"] = round(
+            _scan_measure(proc, "scan-no-as2d"), 3)
+
+    # ---- 12. batched-scene Pallas scan (offline eval throughput) ----------
+    @_section("scan_batch4_pallas", min_s=240)
+    def _scan_batch4():
+        proc = state.get("proc_pallas") or make_sequence_processor(
+            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+
         def scan_scenes(seed0):
             cfgs = [
                 SyntheticSceneConfig(
@@ -357,185 +620,26 @@ def main():
         wa_i, wa_p, wa_k = scan_scenes(101)
         tb_i, tb_p, tb_k = scan_scenes(401)
         _fetch_with_timeout(
-            proc(variables, wa_i, wa_p, wa_k), seconds=240.0,
-            label="scan-batch4-warmup",
+            proc(variables, wa_i, wa_p, wa_k), seconds=300.0,
+            label="scan-batch4-pallas-warmup",
         )
         n_windows = SCAN_FRAMES - 3 + 1
         t0 = time.perf_counter()
         depths4 = proc(variables, tb_i, tb_p, tb_k)
-        _fetch_with_timeout(depths4, seconds=240.0, label="scan-batch4")
+        _fetch_with_timeout(depths4, seconds=300.0, label="scan-batch4-pallas")
         dt4 = time.perf_counter() - t0
-        extras["scan_batch4_total_fps"] = round(4 * n_windows / dt4, 3)
-    except Exception as e:
-        extras["scan_batch4_error"] = f"{type(e).__name__}: {e}"[:120]
+        extras["scan_batch4_pallas_total_fps"] = round(4 * n_windows / dt4, 3)
 
-    # ---- plane-mix frustum warp variant (fast_frustum=True) ---------------
-    # the per-voxel trilinear gather is the profiled bottleneck of the
-    # window step (tools/profile_scan.py: 24-30 ms of the ~84 ms window);
-    # plane_mix reformulates it as a dense z-mix matmul + per-plane 2D
-    # gather (measured 2x on the op). Same weights; sub-plane-spacing
-    # interpolation deviation (tests/test_fast_frustum.py).
-    try:
-        proc_fast = make_sequence_processor(
-            model.clone(fast_frustum=True), lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        _fetch_with_timeout(
-            proc_fast(variables, ca_imgs, ca_poses, intr0),
-            seconds=240.0, label="scan-planemix-warmup",
-        )
-        n_windows = SCAN_FRAMES - 3 + 1
-        t0 = time.perf_counter()
-        depths_f = proc_fast(variables, cb_imgs, cb_poses, intr0)
-        _fetch_with_timeout(depths_f, seconds=240.0, label="scan-planemix")
-        dtf = time.perf_counter() - t0
-        extras["scan_planemix_fps"] = round(n_windows / dtf, 3)
-    except Exception as e:
-        extras["scan_planemix_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- Pallas lane-gather warp variant (pallas_warp=True) ---------------
-    # Both hot warps (EST frustum + cost-volume plane-sweep) leave the
-    # gather engine entirely: z-mix and the two-pass homography resample
-    # run as same-shape vreg lane gathers on the VPU
-    # (ops/pallas/plane_warp.py; tolerances in tests/test_pallas_warp.py).
-    try:
-        proc_pl = make_sequence_processor(
-            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        _fetch_with_timeout(
-            proc_pl(variables, ca_imgs, ca_poses, intr0),
-            seconds=240.0, label="scan-pallas-warmup",
-        )
-        n_windows = SCAN_FRAMES - 3 + 1
-        t0 = time.perf_counter()
-        depths_p = proc_pl(variables, cb_imgs, cb_poses, intr0)
-        _fetch_with_timeout(depths_p, seconds=240.0, label="scan-pallas")
-        dtp = time.perf_counter() - t0
-        pallas_scan_fps = n_windows / dtp
-        extras["scan_pallas_fps"] = round(pallas_scan_fps, 3)
-        if "window_gflops" in extras:
-            pflops = extras["window_gflops"] * 1e9 * pallas_scan_fps
-            extras["mfu_scan_pallas"] = round(pflops / V5E_BF16_PEAK_FLOPS, 5)
-
-        # max offline throughput: 4 independent scenes x pallas warps
-        # through one batched scan program (distinct scenes per stream,
-        # same protocol as scan_batch4_total_fps)
-        _fetch_with_timeout(
-            proc_pl(variables, wa_i, wa_p, wa_k), seconds=300.0,
-            label="scan-batch4-pallas-warmup",
-        )
-        t0 = time.perf_counter()
-        depths4p = proc_pl(variables, tb_i, tb_p, tb_k)
-        _fetch_with_timeout(depths4p, seconds=300.0, label="scan-batch4-pallas")
-        dt4p = time.perf_counter() - t0
-        extras["scan_batch4_pallas_total_fps"] = round(
-            4 * n_windows / dt4p, 3
-        )
-    except Exception as e:
-        extras["scan_pallas_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- Pallas warps + exact conv3d-as-2d (the combined candidate) -------
-    # After the warp kernels, the window step's residual is the 3D conv
-    # stacks (C=16/32 minor dims); conv3d_as2d evaluates each 3x3x3 conv as
-    # three depth-shifted conv2ds over a [B*D,H,W,C] batch — numerically
-    # exact, same parameters (models/layers.Decomp3DConv).
-    try:
-        proc_pa = make_sequence_processor(
-            model.clone(pallas_warp=True, conv3d_as2d=True), lwindow=3,
-            memory_size=2, output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        _fetch_with_timeout(
-            proc_pa(variables, ca_imgs, ca_poses, intr0),
-            seconds=240.0, label="scan-pallas-as2d-warmup",
-        )
-        n_windows = SCAN_FRAMES - 3 + 1
-        t0 = time.perf_counter()
-        depths_pa = proc_pa(variables, cb_imgs, cb_poses, intr0)
-        _fetch_with_timeout(depths_pa, seconds=240.0, label="scan-pallas-as2d")
-        dtpa = time.perf_counter() - t0
-        pa_fps = n_windows / dtpa
-        extras["scan_pallas_as2d_fps"] = round(pa_fps, 3)
-        if "window_gflops" in extras:
-            paf = extras["window_gflops"] * 1e9 * pa_fps
-            extras["mfu_scan_pallas_as2d"] = round(
-                paf / V5E_BF16_PEAK_FLOPS, 5
-            )
-    except Exception as e:
-        extras["scan_pallas_as2d_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- fused Pallas EST attention variant ------------------------------
-    if os.environ.get("ESTDEPTH_BENCH_PALLAS", "1") != "0":
-        try:
-            pmodel = DepthNetHybrid(
-                ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
-                est_transformer=True, dtype=jnp.bfloat16,
-                use_pallas_attention=True,
-            )
-            prunner = ESTMRunner(
-                pmodel, variables, h, w, lwindow=3, memory_size=2,
-                output_scales=(0, 2), output_dtype=jnp.bfloat16,
-            )
-            pfps = _time_streaming(
-                prunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
-            )
-            extras["pallas_streaming_fps"] = round(pfps, 3)
-        except Exception as e:
-            extras["pallas_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- online streaming with the Pallas lane-gather warps ---------------
-    # same strict fetch-per-frame protocol as the headline streaming number,
-    # so (this - streaming_fps) isolates the warp-kernel win in the
-    # latency-critical serving path. NOT under ESTDEPTH_BENCH_PALLAS: that
-    # gate controls the (known-tied) fused-attention variant only.
-    try:
-        wrunner = ESTMRunner(
-            model.clone(pallas_warp=True), variables, h, w,
-            lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        wfps = _time_streaming(
-            wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
-        )
-        extras["streaming_pallas_warp_fps"] = round(wfps, 3)
-        # same program, fetch pipelined one frame deep: compute (~27 ms
-        # window) overlaps the ~30 ms relay fetch — the serving
-        # throughput ceiling of this build environment
-        wpfps = _time_streaming(
-            wrunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS,
-            pipeline=True,
-        )
-        extras["streaming_pallas_warp_pipelined_fps"] = round(wpfps, 3)
-        wrunner = None  # noqa: F841
-    except Exception as e:
-        extras["pallas_warp_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- serving variants -------------------------------------------------
-    try:
-        # latency: fetch only the refined (scale-0) map, bf16 — 8x less
-        # device->host transfer per frame than the default 4-scale fp32
-        srunner = ESTMRunner(
-            model, variables, h, w, lwindow=3, memory_size=2,
-            output_scales=(0,), output_dtype=jnp.bfloat16,
-        )
-        sfps = _time_streaming(
-            srunner, frames[: 6 + N_TIMED_PALLAS], N_TIMED_PALLAS
-        )
-        extras["serving_scale0_bf16_fps"] = round(sfps, 3)
-    except Exception as e:
-        extras["serving_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    try:
-        # throughput: 4 independent streams batched in one step, each
-        # stream fed DISTINCT frames (push_frame accepts [B, H, W, 3])
+    # ---- 13. batched online serving (4 independent streams) ---------------
+    @_section("batch4_streaming", min_s=200)
+    def _batch4():
         brunner = ESTMRunner(
             model, variables, h, w, lwindow=3, memory_size=2, batch=4,
             output_scales=(0,), output_dtype=jnp.bfloat16,
         )
         # four INDEPENDENT scenes — distinct seeds, geometry, and camera
-        # paths per stream (distinct buffers alone are not enough: this
-        # relay partially elides near-identical content, and identical
-        # data within one batched step distorts timing — CLAUDE.md)
+        # paths per stream (identical data within one batched step distorts
+        # relay timing — CLAUDE.md)
         bcfgs = [
             SyntheticSceneConfig(
                 height=h, width=w, seed=11 * s + 3,
@@ -547,7 +651,7 @@ def main():
             for s in range(4)
         ]
         bstreams = [
-            list(synthetic_stream(c, n_frames=6 + N_TIMED_PALLAS))
+            list(synthetic_stream(c, n_frames=6 + N_TIMED_SHORT))
             for c in bcfgs
         ]
         bframes = [
@@ -556,140 +660,39 @@ def main():
                 "cam_pose": np.stack([st[i]["cam_pose"] for st in bstreams]),
                 "cam_intr": np.stack([st[i]["cam_intr"] for st in bstreams]),
             }
-            for i in range(6 + N_TIMED_PALLAS)
+            for i in range(6 + N_TIMED_SHORT)
         ]
-        bfps = _time_streaming(brunner, bframes, N_TIMED_PALLAS)
-        extras["batch4_total_fps"] = round(4 * bfps, 3)
-    except Exception as e:
-        extras["batch4_error"] = f"{type(e).__name__}: {e}"[:120]
+        fps = _time_streaming(brunner, bframes, N_TIMED_SHORT)
+        extras["batch4_total_fps"] = round(4 * fps, 3)
 
-    # ---- training throughput (flagship config, single chip) --------------
-    if os.environ.get("ESTDEPTH_BENCH_TRAIN", "1") != "0":
-        try:
-            # free the eval-side device state first: the train step's working
-            # set is most of HBM
-            runner = prunner = srunner = brunner = proc = None  # noqa: F841
-
-            from estdepth_tpu.data.synthetic import synthetic_window
-            from estdepth_tpu.parallel.mesh import (
-                create_mesh, replicate, shard_batch,
-            )
-            from estdepth_tpu.train.schedule import warmup_multistep_schedule
-            from estdepth_tpu.train.trainer import (
-                create_train_state, make_optimizer, make_train_step,
-            )
-
-            mesh = create_mesh(1)
-            tmodel = DepthNetHybrid(
-                ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
-                est_transformer=True, bn_axis_name="data",
-                dtype=jnp.bfloat16,
-            )
-            batch = {
-                k: jnp.asarray(v)
-                for k, v in synthetic_window(cfg, n_frames=5).items()
-            }
-            tx = make_optimizer(warmup_multistep_schedule(4e-5, 1000))
-            state = create_train_state(tmodel, jax.random.key(0), batch, tx)
-            state = replicate(state, mesh)
-            sharded = shard_batch(batch, mesh)
-            step_fn = make_train_step(tmodel, tx, mesh, 0.01, 10.0)
-            rng_b = np.random.default_rng(1)
-            imgs_host = np.asarray(batch["imgs"])
-
-            def one_step(st):
-                # distinct batch + scalar fetch: anti-elision hygiene
-                b = dict(sharded)
-                b["imgs"] = jnp.asarray(
-                    imgs_host
-                    + rng_b.normal(0, 1e-2, imgs_host.shape).astype(
-                        np.float32
-                    )
-                )
-                st, scalars = step_fn(st, b, jnp.float32(10.0))
-                return st, float(scalars["loss"])
-
-            state, _ = one_step(state)
-            state, _ = one_step(state)
-            t0 = time.perf_counter()
-            n_train = 5
-            for _ in range(n_train):
-                state, loss = one_step(state)
-            t_step = (time.perf_counter() - t0) / n_train
-            extras["train_step_ms"] = round(1e3 * t_step, 1)
-            extras["train_steps_per_sec_chip"] = round(1.0 / t_step, 3)
-
-            # fast-training pick: plane-mix warps + conv3d-as-2d execution
-            # (tools/experiments/train_warp_modes.py measured 798 -> 503
-            # ms/step; end-metric drift characterized via
-            # parity_gate --variant plane_mix --conv3d-as2d)
-            try:
-                state = step_fn = None  # free the exact step's working set
-                fmodel = tmodel.clone(fast_frustum=True, conv3d_as2d=True)
-                fstate = create_train_state(
-                    fmodel, jax.random.key(0), batch, tx)
-                fstate = replicate(fstate, mesh)
-                fstep_fn = make_train_step(fmodel, tx, mesh, 0.01, 10.0)
-
-                def fast_step(st):
-                    b = dict(sharded)
-                    b["imgs"] = jnp.asarray(
-                        imgs_host
-                        + rng_b.normal(0, 1e-2, imgs_host.shape).astype(
-                            np.float32
-                        )
-                    )
-                    st, scalars = fstep_fn(st, b, jnp.float32(10.0))
-                    return st, float(scalars["loss"])
-
-                fstate, _ = fast_step(fstate)
-                fstate, _ = fast_step(fstate)
-                t0 = time.perf_counter()
-                for _ in range(n_train):
-                    fstate, _ = fast_step(fstate)
-                tf_step = (time.perf_counter() - t0) / n_train
-                extras["train_fast_step_ms"] = round(1e3 * tf_step, 1)
-                extras["train_fast_steps_per_sec_chip"] = round(
-                    1.0 / tf_step, 3)
-            except Exception as e:
-                extras["train_fast_error"] = f"{type(e).__name__}: {e}"[:120]
-        except Exception as e:
-            extras["train_error"] = f"{type(e).__name__}: {e}"[:120]
-
-    # ---- traceable baseline ----------------------------------------------
-    mb_path = os.path.join(os.path.dirname(__file__) or ".",
-                           "BASELINE_MEASURED.json")
-    if os.path.exists(mb_path):
-        with open(mb_path) as f:
-            mb = json.load(f)
-        baseline_fps = mb["reference_torch_cpu"]["fps"]
-        extras["baseline"] = {
-            "fps": baseline_fps,
-            "source": "reference torch implementation measured on this "
-                      "host's CPU, identical weights+protocol "
-                      "(BASELINE_MEASURED.json)",
-            "our_jax_cpu_fps": mb["estdepth_tpu_jax_cpu"]["fps"],
-        }
-    else:
-        baseline_fps = FALLBACK_BASELINE_FPS
-        extras["baseline"] = {
-            "fps": baseline_fps,
-            "source": "ASSUMED (no BASELINE_MEASURED.json; run "
-                      "tools/measure_baseline.py)",
-        }
-
-    print(
-        json.dumps(
-            {
-                "metric": "estm_streaming_throughput",
-                "value": round(streaming_fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(streaming_fps / baseline_fps, 3),
-                **extras,
-            }
+    # ---- 14. fused Pallas EST attention (known-tied; re-measured) ---------
+    @_section("pallas_attention", min_s=150)
+    def _pallas_attn():
+        prunner = ESTMRunner(
+            model.clone(use_pallas_attention=True), variables, h, w,
+            lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
         )
-    )
+        fps = _time_streaming(
+            prunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
+        )
+        extras["pallas_streaming_fps"] = round(fps, 3)
+
+    # ---- 15. strict all-4-scales-fp32 fetch (the r01 protocol) ------------
+    @_section("streaming_full_fetch", min_s=150)
+    def _full_fetch():
+        frunner = ESTMRunner(model, variables, h, w, lwindow=3,
+                             memory_size=2)
+        fps = _time_streaming(
+            frunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
+        )
+        extras["streaming_full_fetch_fps"] = round(fps, 3)
+
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        emit()
