@@ -58,7 +58,9 @@ def main():
         "--modes", type=str,
         default="exact,plane_mix,pallas,as2d,plane_mix_as2d",
         help="comma list from {exact, plane_mix, pallas, as2d, "
-             "plane_mix_as2d, pallas_as2d}")
+             "plane_mix_as2d, pallas_as2d, plane_mix_ez_as2d, "
+             "pallas_ez_as2d} (_ez_ = slope-carry exact-z correction, "
+             "ops/warp_exact_z.py — the parity-fast warp)")
     args = ap.parse_args()
 
     cfg = SyntheticSceneConfig(height=args.height, width=args.width)
@@ -76,9 +78,12 @@ def main():
             ndepths=args.ndepths, depth_min=0.01, depth_max=10.0,
             resnet=50, est_transformer=True, bn_axis_name="data",
             dtype=jnp.bfloat16,
-            fast_frustum=mode in ("plane_mix", "plane_mix_as2d"),
-            pallas_warp=mode in ("pallas", "pallas_as2d"),
-            conv3d_as2d=mode in ("as2d", "plane_mix_as2d", "pallas_as2d"),
+            fast_frustum=mode in ("plane_mix", "plane_mix_as2d",
+                                  "plane_mix_ez_as2d"),
+            pallas_warp=mode in ("pallas", "pallas_as2d", "pallas_ez_as2d"),
+            exact_z_warp="_ez_" in mode,
+            conv3d_as2d=mode in ("as2d", "plane_mix_as2d", "pallas_as2d",
+                                 "plane_mix_ez_as2d", "pallas_ez_as2d"),
         )
         state = create_train_state(model, jax.random.key(0), batch, tx)
         state = replicate(state, mesh)

@@ -198,6 +198,73 @@ def main():
 
     measure("dres2_kv_head0", [(1, nd, hq, wq, 33)], tail3d)
 
+    # ---- the same conv stages under as2d execution (the round-4 default) --
+    # identical parameter trees, so the modules reuse the vars init'd above
+    pre0a = ConvBN(32, (1, 1, 1), 1, padding=0, dtype=dt, conv3d_as2d=True)
+    pre1a = ConvBN(32, (3, 3, 3), 1, act="relu", dtype=dt, conv3d_as2d=True)
+    pre2a = ConvBN(32, (3, 3, 3), 1, dtype=dt, conv3d_as2d=True)
+
+    def prestack_as2d(x):
+        y = pre0a.apply(pv0, x, False)
+        return y + pre2a.apply(pv2, pre1a.apply(pv1, y, False), False)
+
+    measure("prestack_as2d_2x", [(2, nd, hq, wq, 64)], prestack_as2d)
+
+    c32a = ConvBNRelu3D(32, dtype=dt, conv3d_as2d=True)
+
+    def dres_chain_as2d(x):
+        for _ in range(4):
+            x = c32a.apply(c32v, x, False)
+        return x
+
+    measure("dres_chain_as2d_x4", [(1, nd, hq, wq, 32)], dres_chain_as2d)
+
+    c33a = ConvBNRelu3D(33, dtype=dt, conv3d_as2d=True)
+    kv16a = ConvBNRelu3D(16, dtype=dt, conv3d_as2d=True)
+    heada = StereoHead(16, dtype=dt, conv3d_as2d=True)
+
+    def tail3d_as2d(x):
+        x = c33a.apply(c33v, x, False)
+        key = kv16a.apply(kv16v, x, False)
+        val = kv16a.apply(kv16vb, x, False)
+        return heada.apply(headv, val, False), key
+
+    measure("dres2_kv_head0_as2d", [(1, nd, hq, wq, 33)], tail3d_as2d)
+
+    # finer attribution of the prestack as2d regression: which layer?
+    measure("pre0_1x1_3d", [(2, nd, hq, wq, 64)],
+            lambda x: pre0.apply(pv0, x, False))
+    measure("pre0_1x1_as2d", [(2, nd, hq, wq, 64)],
+            lambda x: pre0a.apply(pv0, x, False))
+    measure("pre1_3x3_3d", [(2, nd, hq, wq, 32)],
+            lambda x: pre1.apply(pv1, x, False))
+    measure("pre1_3x3_as2d", [(2, nd, hq, wq, 32)],
+            lambda x: pre1a.apply(pv1, x, False))
+
+    # ---- dres2 channel-pad tax probe: does C=33 cost more than C=32? ------
+    # (round-4 VERDICT #4: "whether the 33-channel dres2 pays a pad tax")
+    c33b = ConvBNRelu3D(33, dtype=dt)
+    c33bv = init_mod(c33b, (1, nd, hq, wq, 33))
+    c32b = ConvBNRelu3D(32, dtype=dt)
+    c32bv = init_mod(c32b, (1, nd, hq, wq, 32))
+    c40b = ConvBNRelu3D(40, dtype=dt)
+    c40bv = init_mod(c40b, (1, nd, hq, wq, 40))
+    measure("conv33to33_3d", [(1, nd, hq, wq, 33)],
+            lambda x: c33b.apply(c33bv, x, False))
+    measure("conv32to32_3d", [(1, nd, hq, wq, 32)],
+            lambda x: c32b.apply(c32bv, x, False))
+    measure("conv40to40_3d", [(1, nd, hq, wq, 40)],
+            lambda x: c40b.apply(c40bv, x, False))
+    c33c = ConvBNRelu3D(33, dtype=dt, conv3d_as2d=True)
+    c32c = ConvBNRelu3D(32, dtype=dt, conv3d_as2d=True)
+    c40c = ConvBNRelu3D(40, dtype=dt, conv3d_as2d=True)
+    measure("conv33to33_as2d", [(1, nd, hq, wq, 33)],
+            lambda x: c33c.apply(c33bv, x, False))
+    measure("conv32to32_as2d", [(1, nd, hq, wq, 32)],
+            lambda x: c32c.apply(c32bv, x, False))
+    measure("conv40to40_as2d", [(1, nd, hq, wq, 40)],
+            lambda x: c40c.apply(c40bv, x, False))
+
     # ---- EST fusion pieces -------------------------------------------------
     intr_q = jnp.asarray(
         [[72.2, 0.0, (wq - 1) / 2], [0.0, 72.2, (hq - 1) / 2],
@@ -296,6 +363,24 @@ def main():
 
     measure("gru_head1", [(1, nd, hq, wq, 16), (1, nd, hq, wq, 16)],
             gru_head1)
+
+    # the shipped default runs these convs as2d (est_transformer.py:90);
+    # identical parameter trees, so the as2d modules reuse gv/ov/headv
+    from estdepth_tpu.models.layers import Decomp3DConv
+    gate_a = Decomp3DConv(32, (3, 3, 3), use_bias=True, dtype=dt)
+    outc_a = Decomp3DConv(16, (3, 3, 3), use_bias=True, dtype=dt)
+
+    def gru_head1_as2d(x, hh):
+        xh = jnp.concatenate([x, hh], axis=-1)
+        g = gate_a.apply(gv, xh)
+        r, u = jax.nn.sigmoid(g[..., :16]), jax.nn.sigmoid(g[..., 16:])
+        o = outc_a.apply(ov, jnp.concatenate([x, r * hh], axis=-1))
+        y = jnp.tanh(o)
+        fused = u * hh + (1 - u) * y
+        return heada.apply(headv, fused, False)
+
+    measure("gru_head1_as2d", [(1, nd, hq, wq, 16), (1, nd, hq, wq, 16)],
+            gru_head1_as2d)
 
     # ---- plane-sweep side --------------------------------------------------
     def psweep(f, e):
@@ -406,6 +491,20 @@ def main():
     measure("frustum_pallas_x4", [(4, nd, hq, wq, 32), (4,)],
             frustum4_pallas, dtypes=[dt, jnp.float32])
 
+    def frustum4_pallas_exact_z(v, e):
+        # the parity-fast pick: Pallas two-pass + slope-carry exact-z
+        # correction (ops/pallas/plane_warp_exact_z.py)
+        rel = jnp.tile(jnp.eye(4)[None], (4, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (4, 1, 1)),
+            jnp.tile(dvals[None], (4, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix_pallas_exact_z",
+        )
+
+    measure("frustum_pallas_exact_z_x4", [(4, nd, hq, wq, 32), (4,)],
+            frustum4_pallas_exact_z, dtypes=[dt, jnp.float32])
+
     # ---- FULL window step (what bench's scan mode actually runs) -----------
     # The component sum has never matched the end-to-end window; this
     # measures the whole flagship streaming step — compute_matching on the
@@ -415,8 +514,9 @@ def main():
     from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 
     _full_names = {
-        "full_step", "full_step_planemix", "full_step_pallas",
-        "full_step_pallas_as2d",
+        "full_step", "full_step_no_as2d", "full_step_planemix",
+        "full_step_pallas", "full_step_pallas_as2d",
+        "full_step_pallas_exact_z",
         "cost_volumes_full", "decoder_full", "decoder_full_planemix",
         "decoder_full_pallas", "decoder_full_pallas_as2d",
         "semantic_unet", "resnet_in_model",
@@ -460,21 +560,31 @@ def main():
         full_shapes = [(1, 3, h, w, 3), (3, 3), (1, 2, hq, wq, 32),
                        (1, 2, nd, hq, wq, 32)]
         full_dts = [jnp.float32, jnp.float32, dt, dt]
+        # NOTE: conv3d_as2d=True is the shipped default since round 4, so
+        # every variant below runs as2d execution unless it says otherwise
         measure("full_step", full_shapes,
                 lambda i, t, f, m: full_step(model, i, t, f, m),
+                dtypes=full_dts)
+        model_no_as2d = model.clone(conv3d_as2d=False)
+        measure("full_step_no_as2d", full_shapes,
+                lambda i, t, f, m: full_step(model_no_as2d, i, t, f, m),
                 dtypes=full_dts)
         measure("full_step_planemix", full_shapes,
                 lambda i, t, f, m: full_step(model_fast, i, t, f, m),
                 dtypes=full_dts)
-        model_pallas = model.clone(pallas_warp=True)
+        model_pallas = model.clone(pallas_warp=True, conv3d_as2d=False)
         measure("full_step_pallas", full_shapes,
                 lambda i, t, f, m: full_step(model_pallas, i, t, f, m),
                 dtypes=full_dts)
-        # pallas warps + exact conv3d-as-2d (the post-warp-win bottleneck is
-        # the 3D conv stacks; this measures the combined eval candidate)
-        model_pallas_as2d = model.clone(pallas_warp=True, conv3d_as2d=True)
+        # pallas warps + as2d: the fast offline-eval pick
+        model_pallas_as2d = model.clone(pallas_warp=True)
         measure("full_step_pallas_as2d", full_shapes,
                 lambda i, t, f, m: full_step(model_pallas_as2d, i, t, f, m),
+                dtypes=full_dts)
+        # + the slope-carry exact-z correction: the parity-fast pick
+        model_pallas_ez = model.clone(pallas_warp=True, exact_z_warp=True)
+        measure("full_step_pallas_exact_z", full_shapes,
+                lambda i, t, f, m: full_step(model_pallas_ez, i, t, f, m),
                 dtypes=full_dts)
 
         # -- bisecting probes for (full_step - sum of parts) ----------------
