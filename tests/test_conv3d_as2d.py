@@ -15,6 +15,11 @@ from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
 from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 from estdepth_tpu.models.layers import Decomp3DConv
 
+import pytest
+
+# full-model exactness A/B (~5 min on this box)
+pytestmark = pytest.mark.slow
+
 
 def _pair(shape=(2, 6, 10, 12, 8), co=16, use_bias=False):
     plain = nn.Conv(co, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=use_bias)

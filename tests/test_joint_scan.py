@@ -12,6 +12,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# loop-vs-scan whole-scene equivalence
+pytestmark = pytest.mark.slow
+
 from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
 from estdepth_tpu.eval.sequence import make_joint_processor
 from estdepth_tpu.models import DepthNetHybrid

@@ -26,6 +26,11 @@ import sys
 
 import numpy as np
 
+import pytest
+
+# two-process jax.distributed smoke
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -16,6 +16,9 @@ import pytest
 torch = pytest.importorskip("torch")
 cv2 = pytest.importorskip("cv2")
 
+# executes the actual reference dataset code
+pytestmark = pytest.mark.slow
+
 from estdepth_tpu.data.eval_stream import StreamEvalDataset
 from estdepth_tpu.data.scannet import ScanNetTrainDataset
 from estdepth_tpu.utils.reference_runner import import_reference_datasets

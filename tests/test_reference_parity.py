@@ -32,6 +32,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# runs the ACTUAL torch reference as oracle (multi-minute)
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 
 from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream

@@ -13,6 +13,9 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+# end-to-end ckpt->convert->eval->score rehearsal
+pytestmark = pytest.mark.slow
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 

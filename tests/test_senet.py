@@ -8,6 +8,11 @@ import jax.numpy as jnp
 
 from estdepth_tpu.models.senet import SEBottleneck, SEFeatureNet, SEModule
 
+import pytest
+
+# true-parity vs the actual networks/senet.py (senet154 et al)
+pytestmark = pytest.mark.slow
+
 
 def test_se_module_gates(rng):
     m = SEModule(16, reduction=4)

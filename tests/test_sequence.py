@@ -10,6 +10,11 @@ from estdepth_tpu.eval.estm import ESTMRunner
 from estdepth_tpu.eval.sequence import make_sequence_processor
 from estdepth_tpu.models import DepthNetHybrid
 
+import pytest
+
+# whole-scene lax.scan equivalence
+pytestmark = pytest.mark.slow
+
 
 def test_scan_sequence_matches_streaming():
     h, w, nd = 64, 96, 8

@@ -14,6 +14,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# jax.export round-trip + oracle verify
+pytestmark = pytest.mark.slow
+
 from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
 from estdepth_tpu.eval.estm import ESTMRunner
 from estdepth_tpu.models import DepthNetHybrid

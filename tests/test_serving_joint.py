@@ -11,6 +11,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# jax.export round-trip + oracle verify (joint)
+pytestmark = pytest.mark.slow
+
 from estdepth_tpu.data.synthetic import SyntheticSceneConfig, synthetic_stream
 from estdepth_tpu.models import DepthNetHybrid
 from estdepth_tpu.serving import export_joint, load_joint, load_stream

@@ -15,6 +15,11 @@ from estdepth_tpu.models import DepthNetHybrid, ESTMemory
 from estdepth_tpu.parallel.mesh import create_mesh
 from estdepth_tpu.parallel.spatial import make_spatial_window_fn
 
+import pytest
+
+# full forward width-sharded over 8 devices
+pytestmark = pytest.mark.slow
+
 
 def _setup():
     h, w, nd = 64, 96, 8
