@@ -139,9 +139,15 @@ class DepthNetHybrid(nn.Module):
             exact_z=self.exact_z_warp,
             **kw,
         )
-        # cost-volume pair aggregation (model_hybrid.py:58-60)
+        # cost-volume pair aggregation (model_hybrid.py:58-60).
+        # The prestack is the one 3D stage whose eval forward is FASTER
+        # native (4.13 vs 6.22 ms — XLA fuses the residual composite's
+        # conv3d temps well, while the as2d form's depth-shifted input
+        # copies don't fuse) but whose train gradient is faster as2d
+        # (54.9 vs 61.0 ms) — tools/profile_scan.py, round 4. "train_only"
+        # selects per call; both forms share the same parameters.
         kw3 = dict(kw, lane_pack=self.lane_pack,
-                   conv3d_as2d=self.conv3d_as2d)
+                   conv3d_as2d="train_only" if self.conv3d_as2d else False)
         self.pre0 = ConvBN(32, (1, 1, 1), 1, padding=0, **kw3)
         self.pre1 = ConvBN(32, (3, 3, 3), 1, act="relu", **kw3)
         self.pre2 = ConvBN(32, (3, 3, 3), 1, zero_bn_scale=True, **kw3)

@@ -224,8 +224,15 @@ class ConvBN(nn.Module):
     # ~2x MXU utilization at the decoder's 16-33 output channels
     lane_pack: bool = False
     # evaluate 3D convs as depth-shifted conv2ds (Decomp3DConv) — exact
-    # same arithmetic, avoids the 3D conv backward's padded gradient temps
-    conv3d_as2d: bool = False
+    # same arithmetic, avoids the 3D conv backward's padded gradient temps.
+    # Tri-state: False | True | "train_only". "train_only" picks the form
+    # per call — as2d under train=True, native conv3d under eval — for
+    # stages where the two paths prefer opposite forms (the cost-volume
+    # prestack: eval forward 4.13 ms native vs 6.22 as2d, train gradient
+    # 54.9 ms as2d vs 61.0 native — tools/profile_scan.py, round 4). Both
+    # forms bind the identical "conv"/kernel parameter, so one init/
+    # checkpoint serves either.
+    conv3d_as2d: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -242,7 +249,10 @@ class ConvBN(nn.Module):
             and len(set(kernel)) == 1  # cubic: per-dim pad == pad below
             and pad == kernel[0] // 2
         )
-        if self.conv3d_as2d and eligible3d and kernel[0] > 1:
+        as2d = (
+            train if self.conv3d_as2d == "train_only" else self.conv3d_as2d
+        )
+        if as2d and eligible3d and kernel[0] > 1:
             x = Decomp3DConv(
                 self.features, kernel, dtype=self.dtype, name="conv",
             )(x)

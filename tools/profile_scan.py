@@ -701,6 +701,18 @@ def main():
         measure("g_prestack_x6", [(6, nd, hq, wq, 64)],
                 gradify(prestack_train, (pv0, pv1, pv2)))
 
+        # the as2d A/B at train multiplicity: the eval forward measured the
+        # prestack FASTER native (4.13 vs 6.22 ms) while every other 3D
+        # stage prefers as2d — decide the train-side default per stage
+        def prestack_as2d_train(p, x):
+            pv0_, pv1_, pv2_ = p
+            y, _ = pre0a.apply(pv0_, x, True, mutable=["batch_stats"])
+            z, _ = pre1a.apply(pv1_, y, True, mutable=["batch_stats"])
+            z, _ = pre2a.apply(pv2_, z, True, mutable=["batch_stats"])
+            return y + z
+        measure("g_prestack_as2d_x6", [(6, nd, hq, wq, 64)],
+                gradify(prestack_as2d_train, (pv0, pv1, pv2)))
+
         # 3D regularization chains at 3 targets
         def dres_train(p, x):
             for _ in range(4):
