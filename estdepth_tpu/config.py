@@ -110,3 +110,45 @@ def tiny_config() -> Config:
         model=ModelConfig(ndepths=8),
         data=DataConfig(height=64, width=96),
     )
+
+
+def resolve_warp_args(args) -> None:
+    """Resolve the eval tools' tri-state warp flags IN PLACE.
+
+    Shipped default (round 4): the parity-gated fast warp recipe — the
+    slope-carry exact-z correction (ops/warp_exact_z.py) on the Pallas
+    lane-gather kernels on TPU, or on the XLA plane-mix formulation on
+    other backends (the Pallas kernels only run interpreted there). Both
+    variants pass the 1e-3 reference-parity gate at float noise under
+    f32 matmul numerics (1.19e-7 abs_rel end-to-end, PARITY.md;
+    `tools/parity_gate.py --variant pallas_exact_z|plane_mix_exact_z`).
+    On TPU the remaining deviation is the backend's DEFAULT bf16 matmul
+    precision applied model-wide — EVERY variant including `exact`
+    measures ~1.15e-3 vs the torch-f32 reference, with the fast-warp
+    variants within 2e-6 of `exact`; `--precision high|highest`
+    restores a passing on-chip gate (1.4e-5 / 8.0e-7 measured) at extra
+    matmul cost (PARITY.md has the table).
+
+    `--exact-warp` (or explicit --no-* flags) restores the reference's
+    exact trilinear semantics (homo_utils.py:240-279) — also the
+    model-library default (DepthNetHybrid) and the training default.
+
+    Namespaces carrying plain booleans (older tools, tests) pass through
+    unchanged — only `None` (the tri-state "unset") is resolved.
+    """
+    if getattr(args, "exact_warp", False):
+        args.fast_frustum = False
+        args.pallas_warp = False
+        args.exact_z = False
+        return
+    pw = getattr(args, "pallas_warp", False)
+    ff = getattr(args, "fast_frustum", False)
+    if pw is None and ff is None:
+        import jax
+
+        pw = jax.default_backend() == "tpu"
+        ff = not pw
+    args.pallas_warp = bool(pw)
+    args.fast_frustum = bool(ff)
+    if getattr(args, "exact_z", False) is None:
+        args.exact_z = args.pallas_warp or args.fast_frustum

@@ -57,7 +57,10 @@ class StreamEvalDataset:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for img_path, dmap_path, pose_path in self.frames:
-            img = io_utils.read_image_rgb(img_path, self.width, self.height)
+            # uint8: 1/4 the host->device upload; models cast on device
+            img = io_utils.read_image_rgb(
+                img_path, self.width, self.height, dtype=np.uint8
+            )
             pose = io_utils.read_pose(pose_path)
             dmap = io_utils.read_depth_mm(dmap_path)  # native resolution
             mask = (

@@ -31,15 +31,23 @@ def natsorted(paths: List[str]) -> List[str]:
     return sorted(paths, key=key)
 
 
-def read_image_rgb(path: str, width: int, height: int) -> np.ndarray:
-    """BGR jpg -> resized RGB float32 [H, W, 3] in 0..255
-    (data/scannet.py:115-124)."""
+def read_image_rgb(
+    path: str, width: int, height: int, dtype=np.float32
+) -> np.ndarray:
+    """BGR jpg -> resized RGB [H, W, 3] in 0..255 (data/scannet.py:115-124).
+
+    The decode + resize + color-convert chain runs entirely in uint8 (the
+    reference's does too — general_eval_seq.py:184-204 casts to float only
+    at tensor conversion), so values are exact integers either way.
+    `dtype=np.uint8` skips the final cast: the eval datasets ship uint8 to
+    keep the host->device frame upload at 1/4 the float32 bytes (the
+    models cast on device — bit-identical results)."""
     img = cv2.imread(path)
     if img is None:
         raise IOError(f"failed to read image {path}")
     img = cv2.resize(img, (width, height))
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    return img.astype(np.float32)
+    return img if dtype == np.uint8 else img.astype(dtype)
 
 
 def read_depth_mm(

@@ -181,8 +181,16 @@ class ESTMRunner:
 
         img may be [H, W, 3] (replicated to every stream when batch > 1)
         or [B, H, W, 3] with one DISTINCT frame per stream; pose likewise
-        [4, 4] or [B, 4, 4]."""
-        img = np.asarray(img, np.float32)
+        [4, 4] or [B, 4, 4].
+
+        uint8 frames are uploaded AS uint8 (1/4 the host->device bytes —
+        the per-frame upload is a material streaming cost on slow links)
+        and cast on device; results are bit-identical to float32 input.
+        Keep the dtype consistent within a scene (a dtype switch is one
+        extra jit specialization, not an error)."""
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32, copy=False)
         if img.ndim == 3:
             img = np.broadcast_to(img[None], (self.batch,) + img.shape)
         pose = np.asarray(pose, np.float32)

@@ -70,9 +70,13 @@ def make_sequence_processor(
         b, t = frames.shape[0], frames.shape[1]
         h, w = frames.shape[2], frames.shape[3]
         n_windows = t - lwindow + 1
+        mem_dtype = model.dtype or (
+            frames.dtype
+            if jnp.issubdtype(frames.dtype, jnp.floating) else jnp.float32
+        )
         memory = ESTMemory.create(
             b, memory_size, model.ndepths, h // 4, w // 4, 16,
-            dtype=model.dtype or frames.dtype,
+            dtype=mem_dtype,
         )
 
         # matching features ONCE per frame, in one big batched encoder call
@@ -176,9 +180,13 @@ def make_joint_processor(
         # valid=False start: window 0's push then stores its OWN pose, so
         # the strict-pairing induction starts from window 0's last target
         # exactly like the loop driver
+        mem_dtype = model.dtype or (
+            frames.dtype
+            if jnp.issubdtype(frames.dtype, jnp.floating) else jnp.float32
+        )
         memory = ESTMemory.create(
             b, 1, model.ndepths, h // 4, w // 4, 16,
-            dtype=model.dtype or frames.dtype,
+            dtype=mem_dtype,
         )
 
         # matching features ONCE per frame in one batched encoder call
@@ -352,15 +360,23 @@ class SequenceProcessor:
                 )
         t_max = max(ts)
 
-        def pad_scene(x, t):
-            x = np.asarray(x, np.float32)
+        def pad_scene(x, t, keep_uint8=False):
+            # uint8 frames stay uint8 through the chunk upload (1/4 the
+            # host->device bytes); the model casts on device — exact
+            x = np.asarray(x)
+            if not (keep_uint8 and x.dtype == np.uint8):
+                x = x.astype(np.float32, copy=False)
             if t == t_max:
                 return x
             return np.concatenate(
                 [x, np.repeat(x[-1:], t_max - t, axis=0)], axis=0
             )
 
-        frames_b = np.stack([pad_scene(s[0], t) for s, t in zip(scenes, ts)])
+        all_u8 = all(np.asarray(s[0]).dtype == np.uint8 for s in scenes)
+        frames_b = np.stack(
+            [pad_scene(s[0], t, keep_uint8=all_u8)
+             for s, t in zip(scenes, ts)]
+        )
         poses_b = np.stack([pad_scene(s[1], t) for s, t in zip(scenes, ts)])
         intr_d = jnp.asarray(
             np.stack([np.asarray(s[2], np.float32) for s in scenes])

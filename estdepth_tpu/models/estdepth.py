@@ -229,6 +229,11 @@ class DepthNetHybrid(nn.Module):
         deterministic, so caching is EXACT). Apply with
         `model.apply(vars, frames, method="compute_matching")`.
         """
+        # uint8 frames are accepted (the eval datasets upload uint8 — 1/4
+        # the host->device bytes); the cast to float happens here, on
+        # device, and is exact
+        if not jnp.issubdtype(imgs.dtype, jnp.floating):
+            imgs = imgs.astype(jnp.float32)
         x = 2.0 * (imgs / 255.0) - 1.0
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -272,6 +277,8 @@ class DepthNetHybrid(nn.Module):
         if use_est is None:
             use_est = self.est_transformer and (train or memory is not None)
 
+        if not jnp.issubdtype(imgs.dtype, jnp.floating):
+            imgs = imgs.astype(jnp.float32)  # uint8 ingest: exact, on device
         imgs = 2.0 * (imgs / 255.0) - 1.0  # (model_hybrid.py:119)
         if self.dtype is not None:
             imgs = imgs.astype(self.dtype)

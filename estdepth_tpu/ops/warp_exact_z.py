@@ -114,12 +114,20 @@ def tap_and_slope_fields(volume: jnp.ndarray, zi: jnp.ndarray):
     z0 = jnp.clip(jnp.floor(jnp.clip(zi, 0.0, z - 1.0)), 0.0,
                   max(z - 2.0, 0.0))
     z0i = z0.astype(jnp.int32)
-    # tap-selection matmuls (dense [D,Z]x[Z,C] per source pixel: MXU work)
+    # tap-selection matmuls (dense [D,Z]x[Z,C] per source pixel: MXU work).
+    # precision=HIGHEST is load-bearing: the TPU's default bf16 passes
+    # quantize the f32 taps at 2^-9 relative, which `a = v0 - z0 * s`
+    # amplifies by |z0| (up to Z-1) — an error LARGER than the z deviation
+    # this module removes. With it, the op matches the exact trilinear at
+    # ~1e-6 on-chip (op-level A/B); end-to-end the TPU gate then shows
+    # exact and plane_mix_exact_z within 2e-6 of EACH OTHER (the residual
+    # ~1.1e-3 vs the torch reference is the model-wide conv/matmul
+    # default-precision term, shared by every variant — PARITY.md).
     w0 = jax.nn.one_hot(z0i, z, dtype=f32)
     ws = jax.nn.one_hot(z0i + 1, z, dtype=f32) - w0
     src = volume.astype(f32).reshape(b, d, h * w, c)  # [B, Z, HW, C]
-    v0 = jnp.einsum("bdnz,bznc->bdnc", w0, src)
-    s = jnp.einsum("bdnz,bznc->bdnc", ws, src)
+    v0 = jnp.einsum("bdnz,bznc->bdnc", w0, src, precision=_P)
+    s = jnp.einsum("bdnz,bznc->bdnc", ws, src, precision=_P)
     a = v0 - z0[..., None] * s
     return a, s
 

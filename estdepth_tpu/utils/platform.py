@@ -33,6 +33,26 @@ def enable_compilation_cache():
         pass  # older jax or backend without cache support
 
 
+def apply_matmul_precision(name: str | None) -> None:
+    """Set the GLOBAL default matmul/conv precision ('default', 'high',
+    'highest').
+
+    On TPU, f32 matmuls and convs run ONE bf16 pass by default; vs the
+    torch-f32 reference that is a model-wide ~1.15e-3 end-metric abs_rel
+    drift shared by every warp variant including `exact` (PARITY.md).
+    'high' (3 bf16 passes) measures 1.4e-5 on the on-chip parity gate,
+    'highest' (6 passes) 8.0e-7 — both PASS the 1e-3 gate, at extra
+    MXU cost on every conv. Ops that need exact coordinates (geometry,
+    exact-z taps) always pin precision=HIGHEST explicitly and are not
+    affected by this knob. No-op for None/'default'/''.
+    """
+    if name in (None, "", "default"):
+        return
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", name)
+
+
 def apply_platform_env():
     platform = os.environ.get("ESTDEPTH_PLATFORM")
     enable_compilation_cache()

@@ -6,6 +6,12 @@ stream frames one at a time through a local window (lwindow=3) with a FIFO
 memory of 2 detached key/value cost volumes; dump per-frame depth (.npy +
 colorized .jpg), report mean inference time and offline metrics.
 
+Warp defaults to the parity-gated fast recipe (pallas+exact-z on TPU,
+plane-mix+exact-z elsewhere — 1.19e-7 abs_rel vs the actual reference
+under f32 numerics, within 2e-6 of `exact` on chip; PARITY.md);
+`--exact-warp` restores reference trilinear semantics and `--precision
+high|highest` removes the TPU backend's default-matmul-precision term.
+
 Usage:
   python tools/eval_estm.py --synthetic                       # hermetic
   python tools/eval_estm.py --datapath /data/scannet_test \
@@ -63,16 +69,27 @@ def parse_args():
                    help="in --scan mode, evaluate this many independent "
                         "scenes per batched program (throughput mode; "
                         "outputs identical to scene-batch 1)")
-    p.add_argument("--fast-frustum", action="store_true",
+    p.add_argument("--fast-frustum", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="plane-mix EST memory warps (ops/warp.py): ~2x on "
                         "the profiled hot op; sub-plane-spacing deviation "
-                        "from the exact trilinear (test_fast_frustum.py)")
-    p.add_argument("--pallas-warp", action="store_true",
+                        "from the exact trilinear (test_fast_frustum.py). "
+                        "Default: auto — ON (with --exact-z) when "
+                        "--pallas-warp is off, i.e. on non-TPU backends")
+    p.add_argument("--pallas-warp", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="route BOTH hot warps through the Pallas "
                         "lane-gather kernels (ops/pallas/plane_warp.py): "
                         "no gather engine on the critical path; implies "
                         "plane-mix z semantics plus a sub-pixel two-pass "
-                        "deviation (test_pallas_warp.py). Eval-only.")
+                        "deviation (test_pallas_warp.py). Eval-only. "
+                        "Default: auto — ON on TPU (with --exact-z, the "
+                        "parity-gated fast recipe, PARITY.md 1.19e-7)")
+    p.add_argument("--exact-warp", action="store_true",
+                   help="reference-exact trilinear warp semantics "
+                        "(homo_utils.py:240-279): disables the parity-"
+                        "gated fast-warp default (equivalent to "
+                        "--no-fast-frustum --no-pallas-warp --no-exact-z)")
     p.add_argument("--fetch-half", action="store_true",
                    help="fetch the per-frame maps in bfloat16 instead of "
                         "fp32 — protocol-exact (the reference saves "
@@ -80,12 +97,14 @@ def parse_args():
                         "dumps here are float16 either way) and half the "
                         "device->host transfer, the serving-latency "
                         "streaming pick (bench streaming_fps protocol)")
-    p.add_argument("--exact-z", action="store_true",
+    p.add_argument("--exact-z", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="upgrade --fast-frustum / --pallas-warp with the "
                         "slope-carry exact-z correction "
                         "(ops/warp_exact_z.py): the fast warps' dominant "
                         "deviation drops to second order for ~2x their "
-                        "resample cost — the parity-fast eval pick")
+                        "resample cost — the parity-fast eval pick. "
+                        "Default: ON whenever a fast warp is on")
     p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="run every 3x3x3 conv as three depth-shifted "
@@ -94,6 +113,15 @@ def parse_args():
                         "identical parameter tree. Default ON (measured "
                         "+11%% eval scan); --no-conv3d-as2d restores "
                         "native conv3d lowering")
+    p.add_argument("--precision", choices=["default", "high", "highest"],
+                   default="default",
+                   help="global matmul/conv precision. TPU's default runs "
+                        "f32 matmuls as ONE bf16 pass — a model-wide "
+                        "~1.15e-3 end-metric drift vs f32 numerics shared "
+                        "by EVERY warp variant incl. --exact-warp; 'high' "
+                        "(3 passes, on-chip gate 1.4e-5) or 'highest' "
+                        "(6 passes, 8.0e-7) restore f32-class parity at "
+                        "extra MXU cost (PARITY.md)")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"
@@ -107,8 +135,15 @@ def build_model_and_params(args):
     import jax
     import jax.numpy as jnp
 
+    from estdepth_tpu.config import resolve_warp_args
     from estdepth_tpu.models import DepthNetHybrid
+    from estdepth_tpu.utils.platform import apply_matmul_precision
 
+    # tri-state warp flags -> the shipped parity-gated fast default
+    # (pallas+exact-z on TPU, plane-mix+exact-z elsewhere; --exact-warp
+    # restores reference trilinear semantics)
+    resolve_warp_args(args)
+    apply_matmul_precision(getattr(args, "precision", None))
     model = DepthNetHybrid(
         ndepths=args.ndepths, depth_min=args.depth_min,
         depth_max=args.depth_max, resnet=args.resnet, est_transformer=True,
@@ -193,7 +228,9 @@ def run_scenes_scan(proc, named_scenes, args, outdir=None):
     results = proc.process_scenes(
         [
             (
-                np.stack([f["img"] for f in frames]).astype(np.float32),
+                # dtype preserved: uint8 dataset frames upload at 1/4 the
+                # float32 bytes (SequenceProcessor casts on device)
+                np.stack([f["img"] for f in frames]),
                 np.stack([f["cam_pose"] for f in frames]).astype(np.float32),
                 frames[0]["cam_intr"],
             )

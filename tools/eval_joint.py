@@ -53,13 +53,22 @@ def parse_args():
     p.add_argument("--max-windows", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--save-maps", action="store_true")
-    p.add_argument("--fast-frustum", action="store_true",
-                   help="plane-mix EST memory warps (see eval_estm.py)")
-    p.add_argument("--pallas-warp", action="store_true",
-                   help="Pallas lane-gather warps (see eval_estm.py)")
-    p.add_argument("--exact-z", action="store_true",
+    p.add_argument("--fast-frustum", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="plane-mix EST memory warps (see eval_estm.py); "
+                        "default auto — ON off-TPU, with --exact-z")
+    p.add_argument("--pallas-warp", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Pallas lane-gather warps (see eval_estm.py); "
+                        "default auto — ON on TPU, with --exact-z (the "
+                        "parity-gated fast recipe, PARITY.md 1.19e-7)")
+    p.add_argument("--exact-z", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="slope-carry exact-z correction on the fast warps "
-                        "(see eval_estm.py)")
+                        "(see eval_estm.py); default ON with a fast warp")
+    p.add_argument("--exact-warp", action="store_true",
+                   help="reference-exact trilinear warp semantics — "
+                        "disables the parity-gated fast-warp default")
     p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="exact 3x3x3-as-depth-shifted-conv2ds execution "
@@ -78,6 +87,11 @@ def parse_args():
     p.add_argument("--scene-batch", type=int, default=1,
                    help="with --scan: evaluate N independent scenes per "
                         "batched program (the batch axis never mixes)")
+    p.add_argument("--precision", choices=["default", "high", "highest"],
+                   default="default",
+                   help="global matmul/conv precision (see eval_estm.py: "
+                        "TPU default = 1 bf16 pass, ~1.15e-3 model-wide "
+                        "drift; high/highest restore f32-class parity)")
     p.add_argument("--window-bucket", type=int, default=4,
                    help="with --scan: round the program's window count up "
                         "to a multiple of this (padded windows' outputs "
