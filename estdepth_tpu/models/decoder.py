@@ -157,11 +157,18 @@ class DepthHybridDecoder(nn.Module):
     # (ops/warp_exact_z.py): z deviation drops to second order for ~2x the
     # fast warp's resample cost — the parity-fast combination
     exact_z: bool = False
+    # ride the exact-z Pallas kernels' (A, s) pair as origin-shifted bf16
+    # int32 lanes (ops/pallas/plane_warp_exact_z.py): plain plane-mix
+    # kernel cost, ~1e-4-class transport quantization. Only meaningful
+    # with pallas_warp + exact_z; ignored otherwise.
+    packed_exact_z: bool = False
 
     @property
     def _frustum_mode(self) -> str:
         ez = "_exact_z" if self.exact_z else ""
         if self.pallas_warp:
+            if self.exact_z and self.packed_exact_z:
+                ez = "_exact_z_packed"
             return "plane_mix_pallas" + ez
         return ("plane_mix" + ez) if self.fast_frustum else "exact"
 

@@ -83,6 +83,12 @@ class DepthNetHybrid(nn.Module):
     # fast warps' dominant deviation from first to second order for ~2x
     # their (small) resample cost. No effect on the exact default.
     exact_z_warp: bool = False
+    # Ride the exact-z Pallas kernels' (A, s) pair as origin-shifted bf16
+    # int32 lanes (ops/pallas/plane_warp_exact_z.py module doc): restores
+    # plain plane-mix kernel cost for a ~1e-4-class transport
+    # quantization of the corrected value. Only meaningful with
+    # pallas_warp + exact_z_warp; ignored otherwise.
+    packed_exact_z: bool = False
     # Evaluate the 3D-stack convs lane-packed (ops/packed_conv.py): exactly
     # the same arithmetic restructured so p horizontally-adjacent output
     # pixels share the MXU's 128 output lanes — the decoder's 16-33-channel
@@ -137,6 +143,7 @@ class DepthNetHybrid(nn.Module):
             fast_frustum=self.fast_frustum,
             pallas_warp=self.pallas_warp,
             exact_z=self.exact_z_warp,
+            packed_exact_z=self.packed_exact_z,
             **kw,
         )
         # cost-volume pair aggregation (model_hybrid.py:58-60).

@@ -119,6 +119,26 @@ def _bc(x, dt):
     return jax.lax.bitcast_convert_type(x, dt)
 
 
+def _unpack2(g):
+    """int32 bf16-pair lane -> (low-half, high-half) f32 values."""
+    return _bc(g << 16, jnp.float32), _bc(g & _HI, jnp.float32)
+
+
+def _rne_hi(x):
+    """f32 -> round-to-nearest-even bf16 bits in the TOP half of the lane.
+    Bit-identical to `astype(bfloat16)` of x
+    (tests/test_pallas_warp.py::test_packed_lerp_bit_exact)."""
+    bits = _bc(x, jnp.int32)
+    lsb = jax.lax.shift_right_logical(bits, 16) & 1
+    return (bits + 0x7FFF + lsb) & _HI
+
+
+def _pack2(lo, hi):
+    """Pack two f32 values as RNE bf16 halves of one int32 lane
+    (low half = `lo`, matching _unpack2's order)."""
+    return jax.lax.shift_right_logical(_rne_hi(lo), 16) | _rne_hi(hi)
+
+
 def _lerp2(g0, g1, f):
     """Lerp bf16 channel PAIRS packed into int32 lanes, in f32 math.
 
@@ -127,19 +147,9 @@ def _lerp2(g0, g1, f):
     repack rounds to nearest-even. Bit-identical to `astype(bfloat16)` of
     the f32 lerp (tests/test_pallas_warp.py::test_packed_lerp_bit_exact).
     """
-    def unpack(g):
-        return _bc(g << 16, jnp.float32), _bc(g & _HI, jnp.float32)
-
-    def rne_hi(x):  # f32 -> RNE bf16 bits in the top half
-        bits = _bc(x, jnp.int32)
-        lsb = jax.lax.shift_right_logical(bits, 16) & 1
-        return (bits + 0x7FFF + lsb) & _HI
-
-    a0, b0 = unpack(g0)
-    a1, b1 = unpack(g1)
-    ra = a0 * (1.0 - f) + a1 * f
-    rb = b0 * (1.0 - f) + b1 * f
-    return jax.lax.shift_right_logical(rne_hi(ra), 16) | rne_hi(rb)
+    a0, b0 = _unpack2(g0)
+    a1, b1 = _unpack2(g1)
+    return _pack2(a0 * (1.0 - f) + a1 * f, b0 * (1.0 - f) + b1 * f)
 
 
 def _lerp1(g0, g1, f):

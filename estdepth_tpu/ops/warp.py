@@ -222,6 +222,10 @@ def frustum_warp(
         "plane_mix_pallas" / "plane_mix_pallas_exact_z" — the same two
         fast modes with every gather as a VPU lane gather
         (ops/pallas/plane_warp{,_exact_z}.py).
+        "plane_mix_pallas_exact_z_packed" — exact-z on the kernels with
+        the (A, s) pair packed as origin-shifted bf16 int32 lanes: plain
+        plane-mix kernel cost, ~1e-4-class transport quantization
+        (ops/pallas/plane_warp_exact_z.py module doc).
 
     Returns:
       [B, D, H, W, C] target-frustum volume, trilinear; out-of-range
@@ -241,7 +245,8 @@ def frustum_warp(
     x, y, z = geometry.project_points(cam_intr, pts.reshape(b, 3, -1))
 
     if mode in ("plane_mix", "plane_mix_exact_z", "plane_mix_pallas",
-                "plane_mix_pallas_exact_z") and padding_mode != "zeros":
+                "plane_mix_pallas_exact_z",
+                "plane_mix_pallas_exact_z_packed") and padding_mode != "zeros":
         raise ValueError(f"{mode} supports zeros padding only")
     if mode == "plane_mix":
         return _frustum_warp_planemix(
@@ -266,16 +271,19 @@ def frustum_warp(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
             grid, x, y,
         )
-    if mode == "plane_mix_pallas_exact_z":
+    if mode in ("plane_mix_pallas_exact_z",
+                "plane_mix_pallas_exact_z_packed"):
         # the Pallas two-pass form with the same exact-z correction
-        # (ops/pallas/plane_warp_exact_z.py)
+        # (ops/pallas/plane_warp_exact_z.py); "_packed" rides the (A, s)
+        # pair as origin-shifted bf16 int32 lanes — plain plane-mix
+        # kernel cost, ~1e-4-class transport quantization
         from estdepth_tpu.ops.pallas.plane_warp_exact_z import (
             frustum_warp_exact_z_pallas,
         )
 
         return frustum_warp_exact_z_pallas(
             volume, t, cam_intr, depth_values, depth_min, depth_interval,
-            grid, x, y, z,
+            grid, x, y, z, packed=mode.endswith("_packed"),
         )
 
     zi = (z - depth_min) / depth_interval  # fractional source plane index

@@ -138,16 +138,25 @@ def apply_exact_z_correction(
     zi_star: jnp.ndarray,  # [P, N] exact per-voxel source plane index
     nplanes: int,
     out_dtype,
+    z_origin: jnp.ndarray | None = None,  # [P] per-map A-field index origin
 ) -> jnp.ndarray:
-    """out = A~ + clip(zi*) s~, gated by the exact OOB rule at zi*.
+    """out = A~ + (clip(zi*) - z_origin) s~, gated by the exact OOB rule.
 
     zi* is clamped into [0, Z-1] for the lerp position and the voxel is
     zeroed outside the epsilon-padded window — both mirror the exact
     sampler's per-voxel rule (clamp the coordinate, zero the sample;
     the epsilon pad is the plane-mix family's boundary-noise guard,
-    ops/warp.py)."""
+    ops/warp.py).
+
+    `z_origin` is the per-map index origin the A field was extrapolated
+    to (A = v0 + (z_origin - z0) s); the default 0 matches
+    tap_and_slope_fields. A shifted origin is algebraically identical in
+    f32 but keeps |A| near the volume's own scale — the conditioning the
+    int32-packed bf16 kernel path needs (ops/pallas/plane_warp_exact_z.py)."""
     f32 = jnp.float32
     zc = jnp.clip(zi_star, 0.0, nplanes - 1.0)
+    if z_origin is not None:
+        zc = zc - z_origin.astype(f32)[:, None]
     out = a_t.astype(f32) + zc[..., None] * s_t.astype(f32)
     valid_star = (
         (zi_star >= -_EPS) & (zi_star <= nplanes - 1.0 + _EPS)

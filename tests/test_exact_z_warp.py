@@ -147,6 +147,96 @@ def test_pallas_exact_z_packed_bf16_close_to_f32():
     assert np.abs(bf - f32).max() < 4e-2 * scale
 
 
+def test_packed_exact_z_close_to_f32_kernels():
+    """The packed transport differs from the f32 exact-z kernels ONLY by
+    bf16 quantization of the origin-shifted (A', s) pair and the pass-1
+    intermediate — the origin shift itself is algebraically exact. The
+    per-map shift keeps |A'| at the volume's own scale, so the deviation
+    is bf16-ulp class (measured ~2.6e-4 relative mean on this setup)."""
+    rng = np.random.default_rng(5)
+    b, h, w, c = 1, 24, 32, 8
+    vol = _smooth_volume(rng, b, ND, h, w, c)
+    rel = _rel()
+    intr = _intr(h, w)
+
+    f32 = _warp(vol, rel, intr, "plane_mix_pallas_exact_z")
+    pk = _warp(vol, rel, intr, "plane_mix_pallas_exact_z_packed")
+    scale = np.abs(f32).max()
+    diff = np.abs(pk - f32)
+    assert diff.max() < 2e-2 * scale, diff.max()
+    assert diff.mean() < 1e-3 * scale, diff.mean()
+
+
+def test_packed_exact_z_still_corrects_z_deviation():
+    """Where the z deviation is LARGE the packed form must still correct
+    it despite the bf16 transport. Pinned on a z-linear volume, where
+    plane-mix's corner-z error is worst-case visible (max |err| 5.6 on
+    this setup) and exact-z closes it to the two-pass x-deviation floor
+    (max 0.25). The MEAN is not the right gauge here: on smooth
+    low-amplitude volumes plane-mix's mean z deviation (~2e-4 relative)
+    sits BELOW the bf16 quantization floor (~8e-4 relative), so packed
+    only wins where z structure dominates — exactly the regime the
+    correction exists for. Measured both regimes before pinning."""
+    rng = np.random.default_rng(5)
+    b, h, w, c = 1, 24, 32, 8
+    a = rng.normal(size=(b, 1, h, w, c)).astype(np.float32)
+    s = rng.normal(size=(b, 1, h, w, c)).astype(np.float32)
+    zramp = np.arange(ND, dtype=np.float32)[None, :, None, None, None]
+    vol = jnp.asarray(a + zramp * s)
+    rel = _rel()
+    intr = _intr(h, w)
+
+    exact = _warp(vol, rel, intr, "exact")
+    plain = _warp(vol, rel, intr, "plane_mix_pallas")
+    pk = _warp(vol, rel, intr, "plane_mix_pallas_exact_z_packed")
+    m = (np.abs(exact) > 0) & (np.abs(pk) > 0) & (np.abs(plain) > 0)
+    assert m.mean() > 0.3
+    err_pk = np.abs(pk - exact)[m].max()
+    err_plain = np.abs(plain - exact)[m].max()
+    assert err_pk < 0.2 * err_plain, (err_pk, err_plain)
+
+
+def test_packed_exact_z_grad_matches_f32_kernels():
+    """packed and f32 kernels share the SAME custom VJP (the XLA exact-z
+    cotangent scatter); gradients differ only through the forward value
+    inside the loss' nonlinearity."""
+    rng = np.random.default_rng(6)
+    b, h, w, c = 1, 12, 16, 4
+    vol = _smooth_volume(rng, b, ND, h, w, c)
+    rel = _rel()
+    intr = _intr(h, w)
+    dv = _dv()
+
+    def loss(mode):
+        def f(v):
+            out = frustum_warp(v, rel, intr, dv, DMIN, DINT, mode=mode)
+            return jnp.sum(jnp.sin(out))
+        return f
+
+    g_pk = jax.grad(loss("plane_mix_pallas_exact_z_packed"))(vol)
+    g_f32 = jax.grad(loss("plane_mix_pallas_exact_z"))(vol)
+    assert np.isfinite(np.asarray(g_pk)).all()
+    np.testing.assert_allclose(
+        np.asarray(g_pk), np.asarray(g_f32), rtol=0.1, atol=2e-2
+    )
+
+
+def test_decoder_frustum_mode_strings():
+    from estdepth_tpu.models.decoder import DepthHybridDecoder
+
+    def mode(**kw):
+        return DepthHybridDecoder(ndepths=8, **kw)._frustum_mode
+
+    assert mode() == "exact"
+    assert mode(pallas_warp=True, exact_z=True) == "plane_mix_pallas_exact_z"
+    assert mode(pallas_warp=True, exact_z=True, packed_exact_z=True) == (
+        "plane_mix_pallas_exact_z_packed")
+    # packed is only meaningful on the pallas exact-z path
+    assert mode(pallas_warp=True, packed_exact_z=True) == "plane_mix_pallas"
+    assert mode(fast_frustum=True, exact_z=True, packed_exact_z=True) == (
+        "plane_mix_exact_z")
+
+
 def test_pallas_exact_z_grad_matches_xla():
     """The custom VJP is DEFINED as the XLA exact-z gradient w.r.t. the
     volume; check the plumbing end-to-end through frustum_warp."""

@@ -105,6 +105,13 @@ def parse_args():
                         "deviation drops to second order for ~2x their "
                         "resample cost — the parity-fast eval pick. "
                         "Default: ON whenever a fast warp is on")
+    p.add_argument("--packed-warp", action="store_true",
+                   help="ride the exact-z Pallas kernels' tap/slope pair "
+                        "as origin-shifted bf16 int32 lanes "
+                        "(ops/pallas/plane_warp_exact_z.py): plain "
+                        "plane-mix kernel cost, ~1e-4-class transport "
+                        "quantization. Requires --pallas-warp --exact-z "
+                        "(the TPU default); no effect otherwise")
     p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="run every 3x3x3 conv as three depth-shifted "
@@ -151,6 +158,7 @@ def build_model_and_params(args):
         fast_frustum=getattr(args, "fast_frustum", False),
         pallas_warp=getattr(args, "pallas_warp", False),
         exact_z_warp=getattr(args, "exact_z", False),
+        packed_exact_z=getattr(args, "packed_warp", False),
         conv3d_as2d=getattr(args, "conv3d_as2d", True),
     )
     rng = np.random.default_rng(0)

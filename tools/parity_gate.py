@@ -82,7 +82,8 @@ def parse_args():
     p.add_argument("--json", type=str, default=None)
     p.add_argument("--variant",
                    choices=["exact", "plane_mix", "plane_mix_exact_z",
-                            "pallas", "pallas_exact_z", "pallas_bf16",
+                            "pallas", "pallas_exact_z",
+                            "pallas_exact_z_packed", "pallas_bf16",
                             "pallas_exact_z_bf16"],
                    default="exact",
                    help="warp backend for OUR side: 'exact' is the "
@@ -93,6 +94,10 @@ def parse_args():
                         "'*_exact_z' adds the slope-carry exact-z "
                         "correction (ops/warp_exact_z.py — the candidate "
                         "that passes the 1e-3 gate on a fast backend); "
+                        "'pallas_exact_z_packed' rides its tap/slope "
+                        "pair as origin-shifted bf16 int32 lanes (plain "
+                        "plane-mix kernel cost, ~1e-4-class transport "
+                        "quantization); "
                         "'*_bf16' additionally runs OUR model in "
                         "bfloat16, exercising the int32-packed kernels — "
                         "the flagship bench configuration")
@@ -172,6 +177,7 @@ def main():
         fast_frustum=args.variant.startswith("plane_mix"),
         pallas_warp=args.variant.startswith("pallas"),
         exact_z_warp="exact_z" in args.variant,
+        packed_exact_z="packed" in args.variant,
         dtype=jnp.bfloat16 if args.variant.endswith("bf16") else None,
         conv3d_as2d=args.conv3d_as2d,
     )
