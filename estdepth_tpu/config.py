@@ -122,6 +122,13 @@ def resolve_warp_args(args) -> None:
     variants pass the 1e-3 reference-parity gate at float noise under
     f32 matmul numerics (1.19e-7 abs_rel end-to-end, PARITY.md;
     `tools/parity_gate.py --variant pallas_exact_z|plane_mix_exact_z`).
+    On the TPU branch the exact-z (A, s) pair additionally rides the
+    kernels as origin-shifted bf16 int32 lanes (`packed_warp`,
+    ops/pallas/plane_warp_exact_z.py): plain plane-mix kernel traffic,
+    measured 1.22x scan throughput
+    (tools/experiments/packed_scan_ab.py), still float-noise parity
+    (7.55e-7 abs_rel, PARITY.md). `--no-packed-warp` restores the f32
+    tap/slope transport.
     On TPU the remaining deviation is the backend's DEFAULT bf16 matmul
     precision applied model-wide — EVERY variant including `exact`
     measures ~1.15e-3 vs the torch-f32 reference, with the fast-warp
@@ -140,6 +147,8 @@ def resolve_warp_args(args) -> None:
         args.fast_frustum = False
         args.pallas_warp = False
         args.exact_z = False
+        if hasattr(args, "packed_warp"):
+            args.packed_warp = False
         return
     pw = getattr(args, "pallas_warp", False)
     ff = getattr(args, "fast_frustum", False)
@@ -152,3 +161,6 @@ def resolve_warp_args(args) -> None:
     args.fast_frustum = bool(ff)
     if getattr(args, "exact_z", False) is None:
         args.exact_z = args.pallas_warp or args.fast_frustum
+    if getattr(args, "packed_warp", False) is None:
+        # packed transport only exists on the Pallas exact-z path
+        args.packed_warp = bool(args.pallas_warp and args.exact_z)

@@ -12,7 +12,7 @@ from estdepth_tpu.config import resolve_warp_args
 
 def _ns(**kw):
     base = dict(fast_frustum=None, pallas_warp=None, exact_z=None,
-                exact_warp=False)
+                packed_warp=None, exact_warp=False)
     base.update(kw)
     return argparse.Namespace(**base)
 
@@ -24,13 +24,15 @@ def test_auto_default_is_fast_with_exact_z():
     assert ns.fast_frustum is True
     assert ns.pallas_warp is False
     assert ns.exact_z is True
+    # the packed transport only exists on the Pallas exact-z path
+    assert ns.packed_warp is False
 
 
 def test_exact_warp_disables_everything():
     ns = _ns(exact_warp=True)
     resolve_warp_args(ns)
-    assert (ns.fast_frustum, ns.pallas_warp, ns.exact_z) == (
-        False, False, False)
+    assert (ns.fast_frustum, ns.pallas_warp, ns.exact_z,
+            ns.packed_warp) == (False, False, False, False)
 
 
 def test_explicit_fast_warp_gets_exact_z():
@@ -38,6 +40,16 @@ def test_explicit_fast_warp_gets_exact_z():
     resolve_warp_args(ns)
     assert (ns.fast_frustum, ns.pallas_warp, ns.exact_z) == (
         False, True, True)
+    # pallas + exact-z resolved ON -> the packed transport defaults ON
+    # (the TPU shipped default; 1.22x scan, 7.55e-7 parity — PARITY.md)
+    assert ns.packed_warp is True
+
+
+def test_explicit_no_packed_respected():
+    ns = _ns(pallas_warp=True, packed_warp=False)
+    resolve_warp_args(ns)
+    assert (ns.pallas_warp, ns.exact_z, ns.packed_warp) == (
+        True, True, False)
 
 
 def test_explicit_no_exact_z_respected():
@@ -45,6 +57,8 @@ def test_explicit_no_exact_z_respected():
     resolve_warp_args(ns)
     assert (ns.fast_frustum, ns.pallas_warp, ns.exact_z) == (
         False, True, False)
+    # no exact-z -> nothing for the packed transport to ride
+    assert ns.packed_warp is False
 
 
 def test_plain_bool_namespace_passthrough():

@@ -105,13 +105,15 @@ def parse_args():
                         "deviation drops to second order for ~2x their "
                         "resample cost — the parity-fast eval pick. "
                         "Default: ON whenever a fast warp is on")
-    p.add_argument("--packed-warp", action="store_true",
+    p.add_argument("--packed-warp", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="ride the exact-z Pallas kernels' tap/slope pair "
                         "as origin-shifted bf16 int32 lanes "
                         "(ops/pallas/plane_warp_exact_z.py): plain "
-                        "plane-mix kernel cost, ~1e-4-class transport "
-                        "quantization. Requires --pallas-warp --exact-z "
-                        "(the TPU default); no effect otherwise")
+                        "plane-mix kernel traffic, 1.22x scan throughput, "
+                        "parity still at float noise (7.55e-7, PARITY.md). "
+                        "Default: ON with --pallas-warp --exact-z (the TPU "
+                        "default); no effect on other warp modes")
     p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="run every 3x3x3 conv as three depth-shifted "

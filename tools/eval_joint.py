@@ -66,10 +66,11 @@ def parse_args():
                    default=None,
                    help="slope-carry exact-z correction on the fast warps "
                         "(see eval_estm.py); default ON with a fast warp")
-    p.add_argument("--packed-warp", action="store_true",
+    p.add_argument("--packed-warp", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="origin-shifted bf16 int32-lane transport for the "
                         "exact-z Pallas kernels (see eval_estm.py); "
-                        "requires --pallas-warp --exact-z")
+                        "default ON with --pallas-warp --exact-z")
     p.add_argument("--exact-warp", action="store_true",
                    help="reference-exact trilinear warp semantics — "
                         "disables the parity-gated fast-warp default")
