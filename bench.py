@@ -11,30 +11,36 @@ extra keys document the decomposition:
   - streaming_fps: host-driven per-frame steps at the SHIPPED EVAL-TOOL
     DEFAULTS (since round 4: conv3d_as2d execution, Pallas lane-gather
     warps + slope-carry exact-z with the packed origin-shifted bf16
-    tap/slope transport — parity-gated at 7.55e-7 abs_rel vs the
-    reference under f32 numerics and within 2e-6 of `exact` on chip,
-    PARITY.md — and uint8 frame ingest). This is `value`.
+    tap/slope transport — parity-gated at 6.56e-7 abs_rel vs the
+    reference under f32 numerics, PARITY.md — and uint8 frame ingest).
+    This is `value`.
     Each step fetches the two maps the reference's protocol saves per
     frame (refined scale-0 + fused scale-2, half precision —
     eval_hybrid_seq.py:200-258)
   - streaming_pipelined_fps: same program, fetch pipelined one frame deep
-  - streaming_exact_fps: r01-r03's headline definition (exact trilinear
-    warps, the model-library default / --exact-warp) — cross-round trend
-  - scan_fps (+ mfu_scan): whole-scene lax.scan mode (eval/sequence.py),
-    exact warps — ZERO per-frame dispatch
-  - scan_pallas_as2d_fps (+ mfu_scan_pallas_as2d): Pallas lane-gather warp
-    kernels (ops/pallas/plane_warp.py) on top of the default as2d
-    execution — the max-throughput pick
   - scan_shipped_pipelined_fps (+ mfu_scan_shipped): what
     `tools/eval_estm.py --scan` actually runs — chunked SequenceProcessor
     at the shipped defaults, per-chunk fetch pipelined one chunk deep
+  - scan_shipped_precision_high_fps: the same shipped scan under
+    `--precision high` (3-pass bf16 f32 emulation) — the measured fps
+    cost of ABSOLUTE on-chip parity vs the torch-f32 reference
+    (PARITY.md's on-chip table; round-4 VERDICT #2)
   - train_step_ms / train_fast_step_ms: flagship train step at defaults /
-    with plane-mix warps (the fast-training pick)
-  - scan_no_as2d_fps: conv3d_as2d OFF — the A/B for the round-4 default
-    flip (native conv3d lowering)
-  - window_gflops / achieved_tflops / mfu: compiled FLOPs from XLA
-    cost_analysis, v5e bf16 peak 197 TFLOP/s
-  - truncated: sections skipped by the wall-clock budget (see below)
+    at the fast-training pick
+  - serving_scale0_shipped_fps: the shipped deployment config (model_ship
+    + uint8 ingest + bf16 scale-0-only fetch)
+  - scan_batch4_shipped_total_fps / batch4_total_fps: batched offline /
+    online throughput, 4 independent scenes
+  - streaming_exact_fps / scan_fps / scan_packed_fps /
+    streaming_full_fetch_fps: cross-round trend keys (exact trilinear
+    warps = the model-library default / --exact-warp; packed = the
+    shipped warp in the single-program scan; full_fetch = r01 protocol)
+  - window_gflops / achieved_tflops / mfu*: compiled FLOPs from XLA
+    cost_analysis, v5e bf16 peak 197 TFLOP/s (MFU keys derived in emit()
+    so truncation never loses them)
+  - truncated: sections skipped by the wall-clock budget (see below);
+    deliberately-RETIRED sections are listed in the comment above
+    section 2c in main()
   - baseline: the traceable vs_baseline denominator — the reference
     PyTorch implementation measured on THIS host (tools/measure_baseline.py
     -> BASELINE_MEASURED.json)
@@ -98,6 +104,36 @@ def emit() -> None:
         if _emitted:
             return
         _emitted = True
+        # derive MFU/overhead keys HERE (not in a section) so every fps key
+        # measured before the budget ran out gets its MFU, regardless of
+        # section order
+        flops = extras.get("window_gflops", 0.0) * 1e9
+        if flops > 0:
+            for fps_key, mfu_key in (
+                ("streaming_fps", "mfu"),
+                ("scan_fps", "mfu_scan"),
+                ("scan_packed_fps", "mfu_scan_packed"),
+                ("scan_shipped_pipelined_fps", "mfu_scan_shipped"),
+                ("scan_shipped_precision_high_fps", "mfu_scan_prec_high"),
+            ):
+                if fps_key in extras:
+                    extras[mfu_key] = round(
+                        flops * extras[fps_key] / V5E_BF16_PEAK_FLOPS, 5
+                    )
+            if "streaming_fps" in extras:
+                extras["achieved_tflops"] = round(
+                    flops * extras["streaming_fps"] / 1e12, 3)
+            if "scan_shipped_pipelined_fps" in extras:
+                extras["achieved_tflops_scan"] = round(
+                    flops * extras["scan_shipped_pipelined_fps"] / 1e12, 3)
+        if ("streaming_exact_fps" in extras and "scan_fps" in extras
+                and "dispatch_overhead_ms_per_frame" not in extras):
+            # same (exact-warp) program streaming vs scanned: the honest
+            # per-frame dispatch+fetch overhead of host-driven streaming
+            extras["dispatch_overhead_ms_per_frame"] = round(
+                1e3 / extras["streaming_exact_fps"]
+                - 1e3 / extras["scan_fps"], 2
+            )
         value = extras.get("streaming_fps")
         if value is None:
             # headline never completed: fall back to the best available
@@ -324,11 +360,11 @@ def main():
     # (tools/eval_estm.py): Pallas lane-gather warps + slope-carry exact-z
     # with the packed origin-shifted bf16 tap/slope transport (1.22x the
     # f32 transport's scan throughput, tools/experiments/packed_scan_ab.py)
-    # — parity-gated at 7.55e-7 abs_rel vs the actual reference under f32
-    # numerics, and within 2e-6 of `exact` on chip (PARITY.md's on-chip
+    # — parity-gated at 6.56e-7 abs_rel vs the actual reference under f32
+    # numerics (PARITY.md; the f32-transport exact-z variant additionally
+    # measures within 2e-6 of `exact` on chip — PARITY.md's on-chip
     # table). The headline measures what `tools/eval_estm.py` actually
-    # runs. The scan_pallas_exact_z section keeps the f32 transport as the
-    # round-over-round A/B.
+    # runs.
     model_ship = model.clone(pallas_warp=True, exact_z_warp=True,
                              packed_exact_z=True)
     cfg = SyntheticSceneConfig(height=h, width=w)
@@ -389,140 +425,78 @@ def main():
                               pipeline=True)
         extras["streaming_pipelined_fps"] = round(fps, 3)
 
-    # ---- 2b. exact-warp streaming: r01-r03's headline definition ---------
-    # (kept for the cross-round trend; the exact trilinear warp is the
-    # model-library default and `--exact-warp` on the eval tools)
-    @_section("streaming_exact", min_s=150)
-    def _streaming_exact():
-        erunner = ESTMRunner(
-            model, variables, h, w, lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _time_streaming(
-            erunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
-        )
-        extras["streaming_exact_fps"] = round(fps, 3)
+    # Deliberately-rotated sections (round-5 diet — round-4 VERDICT #5:
+    # 15 sections stopped fitting the budget and truncated the batched-
+    # throughput keys). RETIRED now their questions are settled, with the
+    # last measured numbers for the record (BENCH_r04 unless noted):
+    #   scan_planemix_fps 14.44 / scan_no_as2d_fps 12.78 — the round-4
+    #     default-flip A/Bs (as2d + pallas warps won);
+    #   scan_pallas_as2d_fps 32.91 / scan_pallas_exact_z_fps 29.51 — the
+    #     exact-z-cost and packed-transport A/Bs (packed shipped; its
+    #     scan_packed trend key below subsumes both);
+    #   streaming_pallas_warp_fps 8.86 — superseded by the shipped
+    #     headline (same kernels + exact-z + uint8 ingest);
+    #   pallas_streaming_fps 7.85 (fused EST attention) — measured tied/
+    #     slower three rounds running; the XLA attention stays default.
 
-    # ---- 3. whole-scene lax.scan mode (zero per-frame dispatch) ----------
-    def _scan_measure(proc, label, fetch_s=240.0):
-        """Warm-compile on clip A, time a DISTINCT clip B, fetch inside the
-        timed region (only a fetch forces execution on this relay)."""
-        if "clips" not in state:
-            sf = list(synthetic_stream(cfg, n_frames=2 * SCAN_FRAMES))
-
-            def clip(fr):
-                return (
-                    jnp.asarray(np.stack([f["img"] for f in fr])[None]),
-                    jnp.asarray(np.stack([f["cam_pose"] for f in fr])[None]),
-                )
-
-            state["clips"] = (clip(sf[:SCAN_FRAMES]), clip(sf[SCAN_FRAMES:]))
-        (ca_i, ca_p), (cb_i, cb_p) = state["clips"]
-        _fetch_with_timeout(proc(variables, ca_i, ca_p, intr0),
-                            seconds=fetch_s, label=f"{label}-warmup")
-        n_windows = SCAN_FRAMES - 3 + 1
-        t0 = time.perf_counter()
-        depths = proc(variables, cb_i, cb_p, intr0)
-        _fetch_with_timeout(depths, seconds=fetch_s, label=label)
-        return n_windows / (time.perf_counter() - t0)
-
-    @_section("scan", min_s=150)
-    def _scan():
-        proc = make_sequence_processor(
-            model, lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _scan_measure(proc, "scan")
-        extras["scan_fps"] = round(fps, 3)
-        if "streaming_exact_fps" in extras:
-            # same (exact-warp) program streaming vs scanned: the honest
-            # per-frame dispatch+fetch overhead of host-driven streaming
-            extras["dispatch_overhead_ms_per_frame"] = round(
-                1e3 / extras["streaming_exact_fps"] - 1e3 / fps, 2
-            )
-
-    # ---- 4. Pallas lane-gather warps + as2d (fast offline-eval pick) -----
-    @_section("scan_pallas_as2d", min_s=150)
-    def _scan_pallas():
-        proc = make_sequence_processor(
-            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _scan_measure(proc, "scan-pallas-as2d")
-        extras["scan_pallas_as2d_fps"] = round(fps, 3)
-        state["proc_pallas"] = proc
-
-    # ---- 4b. Pallas warps + exact-z correction (the parity-fast pick) -----
-    @_section("scan_pallas_exact_z", min_s=150)
-    def _scan_pallas_exact_z():
-        # slope-carry exact-z correction (ops/warp_exact_z.py) with the F32
-        # tap/slope transport: second-order z deviation instead of
-        # plane-mix's first-order — the candidate that made "fast" and
-        # "<=1e-3 parity" coexist (round-4 VERDICT #3). Kept as the A/B
-        # against the shipped PACKED transport (section 4c).
-        proc = make_sequence_processor(
-            model.clone(pallas_warp=True, exact_z_warp=True), lwindow=3,
-            memory_size=2, output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _scan_measure(proc, "scan-pallas-exact-z")
-        extras["scan_pallas_exact_z_fps"] = round(fps, 3)
-
-    # ---- 4b'. the SHIPPED warp config in the same single-program scan -----
-    @_section("scan_packed", min_s=150)
-    def _scan_packed():
-        # exact-z with the packed origin-shifted bf16 tap/slope transport
-        # (ops/pallas/plane_warp_exact_z.py) — the shipped TPU default
-        # since the round-4 continuation; 1.22x the f32 transport in the
-        # controlled A/B (tools/experiments/packed_scan_ab.py)
-        proc = make_sequence_processor(
-            model_ship, lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _scan_measure(proc, "scan-packed")
-        extras["scan_packed_fps"] = round(fps, 3)
-
-    # ---- 4c. the SHIPPED offline-eval path: chunked + pipelined scan ------
+    # ---- 2c. the SHIPPED offline-eval path: chunked + pipelined scan ------
     # `tools/eval_estm.py --scan` runs SequenceProcessor: fixed-size chunk
     # programs with the fetch pipelined ONE CHUNK DEEP, so the per-chunk
     # device->host transfer (the single-program scan's dominant overhead —
     # ~9 ms/frame at this relay's ~20 MB/s) overlaps the next chunk's
     # compute. Same warp/execution config as the headline.
-    @_section("scan_shipped", min_s=260)
-    def _scan_shipped():
+    SHIP_SCAN_FRAMES = 44  # 3 full chunks at stride 14, no tail padding
+
+    def _shipped_scene(seed):
+        c = SyntheticSceneConfig(
+            height=h, width=w, seed=seed,
+            plane_offset=2.0 + (seed % 7) * 0.1,
+            yaw_per_frame=0.005 + (seed % 5) * 0.002,
+        )
+        st = list(synthetic_stream(c, n_frames=SHIP_SCAN_FRAMES))
+        return (
+            np.stack([
+                np.clip(np.round(f["img"]), 0, 255).astype(np.uint8)
+                for f in st
+            ]),
+            np.stack([f["cam_pose"] for f in st]).astype(np.float32),
+            st[0]["cam_intr"].astype(np.float32),
+        )
+
+    def _shipped_scan_fps(label):
         from estdepth_tpu.eval.sequence import SequenceProcessor
 
         proc = SequenceProcessor(
             model_ship, variables, lwindow=3, memory_size=2, chunk=16,
             output_scales=(0, 2), output_dtype=jnp.bfloat16,
         )
-        n_frames = 44  # 3 full chunks at stride 14, no tail padding
-
-        def scene(seed):
-            c = SyntheticSceneConfig(
-                height=h, width=w, seed=seed,
-                plane_offset=2.0 + (seed % 7) * 0.1,
-                yaw_per_frame=0.005 + (seed % 5) * 0.002,
-            )
-            st = list(synthetic_stream(c, n_frames=n_frames))
-            return (
-                np.stack([
-                    np.clip(np.round(f["img"]), 0, 255).astype(np.uint8)
-                    for f in st
-                ]),
-                np.stack([f["cam_pose"] for f in st]).astype(np.float32),
-                st[0]["cam_intr"].astype(np.float32),
-            )
-
-        proc.process_scene(*scene(211))  # compile first+cont chunk programs
-        timed = scene(503)
-        n_w = n_frames - 3 + 1
+        proc.process_scene(*_shipped_scene(211))  # compile chunk programs
+        timed = _shipped_scene(503)
+        n_w = SHIP_SCAN_FRAMES - 3 + 1
         t0 = time.perf_counter()
         out = proc.process_scene(*timed)  # every chunk fetched (pipelined)
         dt = time.perf_counter() - t0
         assert out.shape[0] == n_w
-        extras["scan_shipped_pipelined_fps"] = round(n_w / dt, 3)
+        return n_w / dt
 
-    # ---- 5. compiled FLOPs -> MFU for every *_fps measured so far --------
+    @_section("scan_shipped", min_s=260)
+    def _scan_shipped():
+        extras["scan_shipped_pipelined_fps"] = round(
+            _shipped_scan_fps("scan-shipped"), 3)
+
+    # ---- 2d. the same shipped scan at --precision high --------------------
+    # Prices ABSOLUTE on-chip parity (round-4 VERDICT #2): the backend's
+    # default f32-matmul precision is one bf16 pass, a model-wide ~1.15e-3
+    # abs_rel drift vs the torch-f32 reference shared by every warp variant;
+    # `--precision high` (3 passes) restores a passing 1e-3 gate at 1.44e-5
+    # (PARITY.md's on-chip table). This key is the fps cost of that flag.
+    @_section("scan_shipped_precision_high", min_s=200)
+    def _scan_shipped_prec_high():
+        with jax.default_matmul_precision("high"):
+            extras["scan_shipped_precision_high_fps"] = round(
+                _shipped_scan_fps("scan-shipped-prec-high"), 3)
+
+    # ---- 3. compiled FLOPs (MFU keys derived at emit time) ----------------
     @_section("flops", min_s=90)
     def _flops():
         mem = ESTMemory.create(1, 2, nd, h // 4, w // 4, 16)
@@ -551,27 +525,11 @@ def main():
         flops = float(ca.get("flops", 0.0))
         if flops <= 0:
             return
-        extras["window_gflops"] = round(flops / 1e9, 1)
         # NOTE: flops are the EXACT-warp program's (the plane-mix family
         # does strictly more FLOPs — dense z-mix matmuls instead of
-        # gathers — so the shipped-config MFUs below are lower bounds)
-        for fps_key, mfu_key in (
-            ("streaming_fps", "mfu"),
-            ("scan_fps", "mfu_scan"),
-            ("scan_pallas_as2d_fps", "mfu_scan_pallas_as2d"),
-            ("scan_pallas_exact_z_fps", "mfu_scan_exact_z"),
-            ("scan_shipped_pipelined_fps", "mfu_scan_shipped"),
-        ):
-            if fps_key in extras:
-                extras[mfu_key] = round(
-                    flops * extras[fps_key] / V5E_BF16_PEAK_FLOPS, 5
-                )
-        if "streaming_fps" in extras:
-            extras["achieved_tflops"] = round(
-                flops * extras["streaming_fps"] / 1e12, 3)
-        if "scan_fps" in extras:
-            extras["achieved_tflops_scan"] = round(
-                flops * extras["scan_fps"] / 1e12, 3)
+        # gathers — so the shipped-config MFUs derived in emit() are
+        # lower bounds)
+        extras["window_gflops"] = round(flops / 1e9, 1)
 
     # ---- 6./7. training throughput (flagship config, single chip) --------
     def _train_variant(tmodel, prefix, n_steps=5):
@@ -640,61 +598,56 @@ def main():
         )
         _train_variant(tmodel, "train")
 
-    # ---- 8. online streaming with the Pallas warps (serving latency) -----
-    @_section("streaming_pallas_warp", min_s=200)
-    def _streaming_pallas():
-        wrunner = ESTMRunner(
-            model.clone(pallas_warp=True), variables, h, w,
-            lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _time_streaming(
-            wrunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
-        )
-        extras["streaming_pallas_warp_fps"] = round(fps, 3)
-        pfps = _time_streaming(
-            wrunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT,
-            pipeline=True,
-        )
-        extras["streaming_pallas_warp_pipelined_fps"] = round(pfps, 3)
-
-    # ---- 9. serving: scale-0-only bf16 fetch (min transfer) --------------
+    # ---- 6. serving: the SHIPPED deployment config, min transfer ----------
+    # (what a user would deploy: model_ship + uint8 ingest + bf16 scale-0-
+    # only fetch. r04's serving_scale0_bf16_fps 6.199 measured the EXACT-
+    # warp model with f32 ingest — renamed truthfully, VERDICT #6.)
     @_section("serving_scale0", min_s=150)
     def _serving():
         srunner = ESTMRunner(
-            model, variables, h, w, lwindow=3, memory_size=2,
+            model_ship, variables, h, w, lwindow=3, memory_size=2,
             output_scales=(0,), output_dtype=jnp.bfloat16,
         )
         fps = _time_streaming(
-            srunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
+            srunner, frames_u8[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
         )
-        extras["serving_scale0_bf16_fps"] = round(fps, 3)
-
-    # ---- 10. plane-mix scan (XLA fast warp, no Pallas) --------------------
-    @_section("scan_planemix", min_s=150)
-    def _scan_planemix():
-        proc = make_sequence_processor(
-            model.clone(fast_frustum=True), lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        extras["serving_scale0_shipped_fps"] = round(fps, 3)
+        pfps = _time_streaming(
+            srunner, frames_u8[: 6 + N_TIMED_SHORT], N_TIMED_SHORT,
+            pipeline=True,
         )
-        extras["scan_planemix_fps"] = round(
-            _scan_measure(proc, "scan-planemix"), 3)
+        extras["serving_scale0_shipped_pipelined_fps"] = round(pfps, 3)
 
-    # ---- 11. conv3d_as2d OFF: the A/B for the round-4 default flip --------
-    @_section("scan_no_as2d", min_s=150)
-    def _scan_no_as2d():
-        proc = make_sequence_processor(
-            model.clone(conv3d_as2d=False), lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        extras["scan_no_as2d_fps"] = round(
-            _scan_measure(proc, "scan-no-as2d"), 3)
+    # ---- 7. whole-scene lax.scan helper (used by the trend keys below) ----
+    def _scan_measure(proc, label, fetch_s=240.0):
+        """Warm-compile on clip A, time a DISTINCT clip B, fetch inside the
+        timed region (only a fetch forces execution on this relay)."""
+        if "clips" not in state:
+            sf = list(synthetic_stream(cfg, n_frames=2 * SCAN_FRAMES))
 
-    # ---- 12. batched-scene Pallas scan (offline eval throughput) ----------
-    @_section("scan_batch4_pallas", min_s=240)
+            def clip(fr):
+                return (
+                    jnp.asarray(np.stack([f["img"] for f in fr])[None]),
+                    jnp.asarray(np.stack([f["cam_pose"] for f in fr])[None]),
+                )
+
+            state["clips"] = (clip(sf[:SCAN_FRAMES]), clip(sf[SCAN_FRAMES:]))
+        (ca_i, ca_p), (cb_i, cb_p) = state["clips"]
+        _fetch_with_timeout(proc(variables, ca_i, ca_p, intr0),
+                            seconds=fetch_s, label=f"{label}-warmup")
+        n_windows = SCAN_FRAMES - 3 + 1
+        t0 = time.perf_counter()
+        depths = proc(variables, cb_i, cb_p, intr0)
+        _fetch_with_timeout(depths, seconds=fetch_s, label=label)
+        return n_windows / (time.perf_counter() - t0)
+
+    # ---- 8. batched-scene shipped scan (offline eval throughput) ----------
+    # restored from r04's truncation; model_ship since r05 (was exact-warp
+    # pallas in r01-r03 — the config a batched offline eval would run)
+    @_section("scan_batch4_shipped", min_s=240)
     def _scan_batch4():
-        proc = state.get("proc_pallas") or make_sequence_processor(
-            model.clone(pallas_warp=True), lwindow=3, memory_size=2,
+        proc = make_sequence_processor(
+            model_ship, lwindow=3, memory_size=2,
             output_scales=(0, 2), output_dtype=jnp.bfloat16,
         )
 
@@ -715,8 +668,9 @@ def main():
             ]
             return (
                 jnp.asarray(np.stack(
-                    [[f["img"] for f in st] for st in streams]
-                ).astype(np.float32)),
+                    [[np.clip(np.round(f["img"]), 0, 255) for f in st]
+                     for st in streams]
+                ).astype(np.uint8)),
                 jnp.asarray(np.stack(
                     [[f["cam_pose"] for f in st] for st in streams]
                 ).astype(np.float32)),
@@ -729,20 +683,23 @@ def main():
         tb_i, tb_p, tb_k = scan_scenes(401)
         _fetch_with_timeout(
             proc(variables, wa_i, wa_p, wa_k), seconds=300.0,
-            label="scan-batch4-pallas-warmup",
+            label="scan-batch4-shipped-warmup",
         )
         n_windows = SCAN_FRAMES - 3 + 1
         t0 = time.perf_counter()
         depths4 = proc(variables, tb_i, tb_p, tb_k)
-        _fetch_with_timeout(depths4, seconds=300.0, label="scan-batch4-pallas")
+        _fetch_with_timeout(depths4, seconds=300.0,
+                            label="scan-batch4-shipped")
         dt4 = time.perf_counter() - t0
-        extras["scan_batch4_pallas_total_fps"] = round(4 * n_windows / dt4, 3)
+        extras["scan_batch4_shipped_total_fps"] = round(
+            4 * n_windows / dt4, 3)
 
-    # ---- 13. batched online serving (4 independent streams) ---------------
+    # ---- 9. batched online serving (4 independent streams) ----------------
+    # restored from r04's truncation; model_ship + uint8 since r05
     @_section("batch4_streaming", min_s=200)
     def _batch4():
         brunner = ESTMRunner(
-            model, variables, h, w, lwindow=3, memory_size=2, batch=4,
+            model_ship, variables, h, w, lwindow=3, memory_size=2, batch=4,
             output_scales=(0,), output_dtype=jnp.bfloat16,
         )
         # four INDEPENDENT scenes — distinct seeds, geometry, and camera
@@ -764,7 +721,10 @@ def main():
         ]
         bframes = [
             {
-                "img": np.stack([st[i]["img"] for st in bstreams]),
+                "img": np.stack([
+                    np.clip(np.round(st[i]["img"]), 0, 255).astype(np.uint8)
+                    for st in bstreams
+                ]),
                 "cam_pose": np.stack([st[i]["cam_pose"] for st in bstreams]),
                 "cam_intr": np.stack([st[i]["cam_intr"] for st in bstreams]),
             }
@@ -773,20 +733,7 @@ def main():
         fps = _time_streaming(brunner, bframes, N_TIMED_SHORT)
         extras["batch4_total_fps"] = round(4 * fps, 3)
 
-    # ---- 14. fused Pallas EST attention (known-tied; re-measured) ---------
-    @_section("pallas_attention", min_s=150)
-    def _pallas_attn():
-        prunner = ESTMRunner(
-            model.clone(use_pallas_attention=True), variables, h, w,
-            lwindow=3, memory_size=2,
-            output_scales=(0, 2), output_dtype=jnp.bfloat16,
-        )
-        fps = _time_streaming(
-            prunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
-        )
-        extras["pallas_streaming_fps"] = round(fps, 3)
-
-    # ---- 15. strict all-4-scales-fp32 fetch (the r01 protocol) ------------
+    # ---- 10. strict all-4-scales-fp32 fetch (the r01 protocol) ------------
     @_section("streaming_full_fetch", min_s=150)
     def _full_fetch():
         frunner = ESTMRunner(model, variables, h, w, lwindow=3,
@@ -795,6 +742,44 @@ def main():
             frunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
         )
         extras["streaming_full_fetch_fps"] = round(fps, 3)
+
+    # ---- 11. exact-warp streaming: r01-r03's headline definition ----------
+    # (kept for the cross-round trend; the exact trilinear warp is the
+    # model-library default and `--exact-warp` on the eval tools)
+    @_section("streaming_exact", min_s=150)
+    def _streaming_exact():
+        erunner = ESTMRunner(
+            model, variables, h, w, lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        fps = _time_streaming(
+            erunner, frames[: 6 + N_TIMED_SHORT], N_TIMED_SHORT
+        )
+        extras["streaming_exact_fps"] = round(fps, 3)
+
+    # ---- 12. exact-warp single-program scan (trend; overhead in emit) -----
+    @_section("scan", min_s=150)
+    def _scan():
+        proc = make_sequence_processor(
+            model, lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        extras["scan_fps"] = round(_scan_measure(proc, "scan"), 3)
+
+    # ---- 13. the SHIPPED warp config in the same single-program scan ------
+    @_section("scan_packed", min_s=150)
+    def _scan_packed():
+        # exact-z with the packed origin-shifted bf16 tap/slope transport
+        # (ops/pallas/plane_warp_exact_z.py) — the shipped TPU default
+        # since the round-4 continuation; 1.22x the f32 transport in the
+        # controlled A/B (tools/experiments/packed_scan_ab.py). The
+        # round-over-round trend key for the shipped warp family.
+        proc = make_sequence_processor(
+            model_ship, lwindow=3, memory_size=2,
+            output_scales=(0, 2), output_dtype=jnp.bfloat16,
+        )
+        extras["scan_packed_fps"] = round(
+            _scan_measure(proc, "scan-packed"), 3)
 
     emit()
 

@@ -127,7 +127,7 @@ def resolve_warp_args(args) -> None:
     ops/pallas/plane_warp_exact_z.py): plain plane-mix kernel traffic,
     measured 1.22x scan throughput
     (tools/experiments/packed_scan_ab.py), still float-noise parity
-    (7.55e-7 abs_rel, PARITY.md). `--no-packed-warp` restores the f32
+    (6.56e-7 abs_rel, PARITY.md). `--no-packed-warp` restores the f32
     tap/slope transport.
     On TPU the remaining deviation is the backend's DEFAULT bf16 matmul
     precision applied model-wide — EVERY variant including `exact`

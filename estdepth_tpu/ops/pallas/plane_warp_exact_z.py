@@ -151,10 +151,16 @@ def _frustum_exact_z_impl(
     if packed:
         # per-map A-field origin: the map's mean in-range z index (the
         # conditioning shift, module doc; any per-map constant is exact).
-        # Carried [B, 1, D] so the block's trailing two dims (1, d) equal
-        # the array's — the TPU lowering's block-shape rule for dims that
-        # aren't 8/128 multiples.
-        zbar = jnp.mean(jnp.clip(zi, 0.0, d - 1.0), axis=2)  # [B, D]
+        # Validity-weighted: invalid/behind-camera pixels carry the -2.0
+        # sentinel and would drag the origin toward plane 0 on mostly
+        # out-of-frustum maps, weakening the conditioning the shift exists
+        # for. Carried [B, 1, D] so the block's trailing two dims (1, d)
+        # equal the array's — the TPU lowering's block-shape rule for dims
+        # that aren't 8/128 multiples.
+        valid = zi >= 0.0
+        zbar = jnp.sum(
+            jnp.where(valid, jnp.clip(zi, 0.0, d - 1.0), 0.0), axis=2
+        ) / jnp.maximum(jnp.sum(valid, axis=2), 1.0)  # [B, D]
         pair = pl.pallas_call(
             _tap_slope_packed_kernel,
             out_shape=jax.ShapeDtypeStruct((b * c, h * w, d), jnp.int32),

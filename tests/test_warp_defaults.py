@@ -41,7 +41,7 @@ def test_explicit_fast_warp_gets_exact_z():
     assert (ns.fast_frustum, ns.pallas_warp, ns.exact_z) == (
         False, True, True)
     # pallas + exact-z resolved ON -> the packed transport defaults ON
-    # (the TPU shipped default; 1.22x scan, 7.55e-7 parity — PARITY.md)
+    # (the TPU shipped default; 1.22x scan, 6.56e-7 parity — PARITY.md)
     assert ns.packed_warp is True
 
 

@@ -111,7 +111,7 @@ def parse_args():
                         "as origin-shifted bf16 int32 lanes "
                         "(ops/pallas/plane_warp_exact_z.py): plain "
                         "plane-mix kernel traffic, 1.22x scan throughput, "
-                        "parity still at float noise (7.55e-7, PARITY.md). "
+                        "parity still at float noise (6.56e-7, PARITY.md). "
                         "Default: ON with --pallas-warp --exact-z (the TPU "
                         "default); no effect on other warp modes")
     p.add_argument("--conv3d-as2d", action=argparse.BooleanOptionalAction,

@@ -59,8 +59,10 @@ def main():
         default="exact,plane_mix,pallas,as2d,plane_mix_as2d",
         help="comma list from {exact, plane_mix, pallas, as2d, "
              "plane_mix_as2d, pallas_as2d, plane_mix_ez_as2d, "
-             "pallas_ez_as2d} (_ez_ = slope-carry exact-z correction, "
-             "ops/warp_exact_z.py — the parity-fast warp)")
+             "pallas_ez_as2d, pallas_ez_packed_as2d} (_ez_ = slope-carry "
+             "exact-z correction, ops/warp_exact_z.py — the parity-fast "
+             "warp; _packed_ adds the origin-shifted bf16 tap/slope "
+             "transport, the shipped eval default)")
     args = ap.parse_args()
 
     cfg = SyntheticSceneConfig(height=args.height, width=args.width)
@@ -80,10 +82,10 @@ def main():
             dtype=jnp.bfloat16,
             fast_frustum=mode in ("plane_mix", "plane_mix_as2d",
                                   "plane_mix_ez_as2d"),
-            pallas_warp=mode in ("pallas", "pallas_as2d", "pallas_ez_as2d"),
+            pallas_warp=mode.startswith("pallas"),
             exact_z_warp="_ez_" in mode,
-            conv3d_as2d=mode in ("as2d", "plane_mix_as2d", "pallas_as2d",
-                                 "plane_mix_ez_as2d", "pallas_ez_as2d"),
+            packed_exact_z="_packed_" in mode,
+            conv3d_as2d="as2d" in mode,
         )
         state = create_train_state(model, jax.random.key(0), batch, tx)
         state = replicate(state, mesh)
