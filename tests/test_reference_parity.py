@@ -562,7 +562,8 @@ def test_gradients_match_reference(ctx):
     )
 
 
-def test_training_trajectory_matches_reference(ctx):
+@pytest.mark.parametrize("warp", ["exact", "gated_f32", "shipped_fast"])
+def test_training_trajectory_matches_reference(ctx, warp):
     """THREE real training steps vs the actual reference training recipe:
     train-mode (batch-stats) BN with momentum 0.1 running updates, torch
     Adam(4e-5, wd 4e-4) with L2-in-gradient semantics, clip_grad_norm_ 10,
@@ -585,6 +586,26 @@ def test_training_trajectory_matches_reference(ctx):
     reference-faithful sequential_cost_bn mode so the cost-volume pre
     stack sees per-(target,neighbor) batch statistics like the
     reference's sequential calls (model_hybrid.py:79-95).
+
+    warp="gated_f32" re-runs the SAME strict gate with the parity-gated
+    fast warp family (Pallas lane-gather + slope-carry exact-z, f32
+    tap/slope transport; interpreted kernels on CPU) — proving the gated
+    warp TRAINS to the reference trajectory too (its custom VJP is the
+    exact-z cotangent scatter), not just evaluates at parity. This is
+    the measured basis for recommending the gated warp for fast
+    TRAINING, not only eval.
+
+    warp="shipped_fast" adds the packed bf16 tap/slope transport (the
+    EVAL-tool default). Packing quantizes the (A, s) pair to RNE-bf16 in
+    the forward and its VJP backpropagates through the quantized values,
+    so gradients into the matching encoder carry ~2.6e-4 relative
+    op-level noise that Adam integrates into few-percent update-norm
+    deviations concentrated in matchingFeature.* (measured median 0.071,
+    p90 0.131 vs the strict 0.03/0.10 gate; losses and BN stats still
+    match at the same tolerances). The packed transport is therefore an
+    EVAL-side bandwidth optimization only — training recipes use the f32
+    transport — and this variant pins the LOOSER stability envelope so a
+    regression (e.g. a broken packed VJP) still fails loudly.
     """
     from estdepth_tpu.parallel.mesh import create_mesh, shard_batch
     from estdepth_tpu.train.schedule import warmup_multistep_schedule
@@ -654,10 +675,13 @@ def test_training_trajectory_matches_reference(ctx):
     ref_model.eval()
 
     # ---- ours: the shipped SPMD train step on a 1-device mesh -------------
+    fast = warp != "exact"
     model = DepthNetHybrid(
         ndepths=NDEPTHS, depth_min=DEPTH_MIN, depth_max=DEPTH_MAX,
         resnet=50, est_transformer=True, bn_axis_name="data",
         sequential_cost_bn=True,
+        pallas_warp=fast, exact_z_warp=fast,
+        packed_exact_z=warp == "shipped_fast",
     )
     mesh = create_mesh(1)
     tx = make_optimizer(
@@ -756,6 +780,15 @@ def test_training_trajectory_matches_reference(ctx):
     rels.sort(reverse=True)
     qs = np.percentile([r for r, _ in rels], [50, 90, 100])
     frac_bad = np.mean([r >= 0.15 for r, _ in rels])
+    if warp == "shipped_fast":
+        # packed bf16 transport: looser stability envelope (docstring) —
+        # measured median 0.071 / p90 0.131 / frac>=0.15 0.069
+        assert qs[0] < 0.12 and qs[1] < 0.25 and frac_bad < 0.15, (
+            f"packed-transport update-norm envelope: median={qs[0]:.4f} "
+            f"p90={qs[1]:.4f} max={qs[2]:.4f} frac>=0.15: {frac_bad:.3f}; "
+            f"worst: {rels[:5]}"
+        )
+        return
     assert qs[0] < 0.03 and qs[1] < 0.10 and frac_bad < 0.05, (
         f"update-norm mismatch distribution: median={qs[0]:.4f} "
         f"p90={qs[1]:.4f} max={qs[2]:.4f} frac>=0.15: {frac_bad:.3f}; "

@@ -210,6 +210,33 @@ def main():
 
     measure("prestack_as2d_2x", [(2, nd, hq, wq, 64)], prestack_as2d)
 
+    # round-5 bisection: prestack runs at ~half the standalone-conv rate
+    # (4.75 ms vs ~2.4 at conv32to32_3d's 30 TFLOP/s). Which part?
+    def pre_residual(y):
+        return y + pre2.apply(pv2, pre1.apply(pv1, y, False), False)
+
+    measure("prestack_residual_2x", [(2, nd, hq, wq, 32)], pre_residual)
+
+    # pre0 with the concat UNMATERIALIZED: cat[ref, warped] @ W ==
+    # ref @ W[:32] + warped @ W[32:] for a k1 conv — the model-side
+    # rewrite candidate if the split form wins
+    # raw conv split only (BN is a channelwise epilogue, identical cost)
+    w0 = pv0["params"]["conv"]["kernel"].astype(dt)  # [1,1,1,64,32]
+
+    def pre0_split(ref, wrp):
+        a = jax.lax.conv_general_dilated(
+            ref, w0[..., :32, :], (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        b = jax.lax.conv_general_dilated(
+            wrp, w0[..., 32:, :], (1, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32)
+        return (a + b).astype(dt)
+
+    measure("pre0_split_2x", [(2, nd, hq, wq, 32), (2, nd, hq, wq, 32)],
+            pre0_split)
+
     c32a = ConvBNRelu3D(32, dtype=dt, conv3d_as2d=True)
 
     def dres_chain_as2d(x):
@@ -402,6 +429,34 @@ def main():
     measure("softargmin_x2", [(2, nd, hq, wq)], softarg,
             dtypes=[jnp.float32])
 
+    # layout A/B (round-5): same math on [N, D, H*W] — the (8,128) tiling
+    # pads W=80 to 128 lanes in the 4D form (1.6x), while the flattened
+    # form fills every lane and reduces over D on the sublane axis
+    def softarg_flat(logits):
+        lf = logits.reshape(logits.shape[0], nd, hq * wq)
+        p = jax.nn.softmax(lf.astype(jnp.float32), axis=1)
+        d = jnp.einsum("nds,d->ns", p, dvals)
+        pk = jnp.max(p, axis=1)
+        return d.reshape(-1, hq, wq), pk.reshape(-1, hq, wq)
+
+    measure("softargmin_flat_x2", [(2, nd, hq, wq)], softarg_flat,
+            dtypes=[jnp.float32])
+
+    # head0 + softargmin composed, both layouts — prices headroom #5 (the
+    # D-axis logits round-trip between the head and the softmax)
+    def head0_softarg(v):
+        logits = head.apply(headv, v, False)
+        return softarg(logits)
+
+    measure("head0_softargmin", [(1, nd, hq, wq, 16)], head0_softarg)
+
+    def head0_softarg_flat(v):
+        logits = head.apply(headv, v, False)
+        return softarg_flat(logits)
+
+    measure("head0_softargmin_flat", [(1, nd, hq, wq, 16)],
+            head0_softarg_flat)
+
     up10 = ConvBN(32, 3, 1, act="relu", dtype=dt)
     u10v = init_mod(up10, (1, hq, wq, 128))
     up11 = ConvBN(32, 3, 1, act="relu", dtype=dt)
@@ -505,6 +560,21 @@ def main():
     measure("frustum_pallas_exact_z_x4", [(4, nd, hq, wq, 32), (4,)],
             frustum4_pallas_exact_z, dtypes=[dt, jnp.float32])
 
+    def frustum4_pallas_ez_packed(v, e):
+        # the SHIPPED warp since the round-4 snapshot: exact-z with the
+        # (A, s) pair packed as origin-shifted bf16 halves of one int32
+        # lane — plain plane-mix kernel traffic
+        rel = jnp.tile(jnp.eye(4)[None], (4, 1, 1)).at[:, 0, 3].add(
+            0.05 + 0.01 * e.astype(jnp.float32))
+        return frustum_warp(
+            v, rel, jnp.tile(intr_q[None], (4, 1, 1)),
+            jnp.tile(dvals[None], (4, 1)), 0.01, 10.0 / (nd - 1),
+            mode="plane_mix_pallas_exact_z_packed",
+        )
+
+    measure("frustum_pallas_ez_packed_x4", [(4, nd, hq, wq, 32), (4,)],
+            frustum4_pallas_ez_packed, dtypes=[dt, jnp.float32])
+
     # ---- FULL window step (what bench's scan mode actually runs) -----------
     # The component sum has never matched the end-to-end window; this
     # measures the whole flagship streaming step — compute_matching on the
@@ -516,7 +586,7 @@ def main():
     _full_names = {
         "full_step", "full_step_no_as2d", "full_step_planemix",
         "full_step_pallas", "full_step_pallas_as2d",
-        "full_step_pallas_exact_z",
+        "full_step_pallas_exact_z", "full_step_shipped",
         "cost_volumes_full", "decoder_full", "decoder_full_planemix",
         "decoder_full_pallas", "decoder_full_pallas_as2d",
         "semantic_unet", "resnet_in_model",
@@ -585,6 +655,12 @@ def main():
         model_pallas_ez = model.clone(pallas_warp=True, exact_z_warp=True)
         measure("full_step_pallas_exact_z", full_shapes,
                 lambda i, t, f, m: full_step(model_pallas_ez, i, t, f, m),
+                dtypes=full_dts)
+        # + the packed bf16 tap/slope transport: the SHIPPED eval default
+        model_shipped = model.clone(pallas_warp=True, exact_z_warp=True,
+                                    packed_exact_z=True)
+        measure("full_step_shipped", full_shapes,
+                lambda i, t, f, m: full_step(model_shipped, i, t, f, m),
                 dtypes=full_dts)
 
         # -- bisecting probes for (full_step - sum of parts) ----------------
