@@ -581,12 +581,17 @@ def main():
 
     @_section("train_fast", min_s=420)
     def _train_fast():
-        # fast-training pick: plane-mix warps on top of the default as2d
-        # execution (train_warp_modes.py measured 556 vs 783 ms/step exact)
+        # fast-training pick (round-5): the PARITY-GATED exact-z pallas
+        # warp with the f32 tap/slope transport — measured FASTER than the
+        # old plane-mix pick (6238 vs 6778 ms/step back-to-back,
+        # train_warp_modes.py r05; exact 7659) AND it passes the STRICT
+        # 3-step training-trajectory gate vs the torch reference
+        # (test_reference_parity.py[gated_f32]). The packed bf16 transport
+        # stays eval-only: +2% speed but documented gradient noise.
         tmodel = DepthNetHybrid(
             ndepths=nd, depth_min=0.01, depth_max=10.0, resnet=50,
             est_transformer=True, bn_axis_name="data", dtype=jnp.bfloat16,
-            fast_frustum=True,
+            pallas_warp=True, exact_z_warp=True,
         )
         _train_variant(tmodel, "train_fast")
 
