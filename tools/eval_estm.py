@@ -9,8 +9,11 @@ colorized .jpg), report mean inference time and offline metrics.
 Warp defaults to the parity-gated fast recipe (pallas+exact-z on TPU,
 plane-mix+exact-z elsewhere — 1.19e-7 abs_rel vs the actual reference
 under f32 numerics, within 2e-6 of `exact` on chip; PARITY.md);
-`--exact-warp` restores reference trilinear semantics and `--precision
-high|highest` removes the TPU backend's default-matmul-precision term.
+`--exact-warp` restores reference trilinear semantics. The tool defaults
+to `--precision high` (round-5 flip): it removes the TPU backend's
+default-matmul-precision term (~1.15e-3 model-wide vs torch-f32 — the
+on-chip gate passes at 1.4e-5) and measures FREE on the shipped bf16
+stack; `--precision default` restores the backend's one-bf16-pass mode.
 
 Usage:
   python tools/eval_estm.py --synthetic                       # hermetic
@@ -123,14 +126,18 @@ def parse_args():
                         "+11%% eval scan); --no-conv3d-as2d restores "
                         "native conv3d lowering")
     p.add_argument("--precision", choices=["default", "high", "highest"],
-                   default="default",
-                   help="global matmul/conv precision. TPU's default runs "
-                        "f32 matmuls as ONE bf16 pass — a model-wide "
-                        "~1.15e-3 end-metric drift vs f32 numerics shared "
-                        "by EVERY warp variant incl. --exact-warp; 'high' "
-                        "(3 passes, on-chip gate 1.4e-5) or 'highest' "
-                        "(6 passes, 8.0e-7) restore f32-class parity at "
-                        "extra MXU cost (PARITY.md)")
+                   default="high",
+                   help="global matmul/conv precision. TPU's backend "
+                        "default runs f32 matmuls as ONE bf16 pass — a "
+                        "model-wide ~1.15e-3 end-metric drift vs f32 "
+                        "numerics shared by EVERY warp variant incl. "
+                        "--exact-warp. The TOOL default is 'high' (3 "
+                        "passes): on-chip parity gate 1.4e-5, measured "
+                        "FREE on the shipped bf16 stack (39.8 vs 37.8 fps "
+                        "scan, within variance — BENCH r05; bf16 convs are "
+                        "unaffected by f32 precision). '--precision "
+                        "default' restores the backend default, 'highest' "
+                        "(6 passes) gives 8.0e-7 (PARITY.md)")
     p.add_argument("--reference-layout", action="store_true",
                    help="write outputs in the reference's directory layout "
                         "(<outdir>/<scene>/{init_depth,init_prob,"

@@ -93,10 +93,12 @@ def parse_args():
                    help="with --scan: evaluate N independent scenes per "
                         "batched program (the batch axis never mixes)")
     p.add_argument("--precision", choices=["default", "high", "highest"],
-                   default="default",
+                   default="high",
                    help="global matmul/conv precision (see eval_estm.py: "
-                        "TPU default = 1 bf16 pass, ~1.15e-3 model-wide "
-                        "drift; high/highest restore f32-class parity)")
+                        "TPU backend default = 1 bf16 pass, ~1.15e-3 "
+                        "model-wide drift; the TOOL default 'high' "
+                        "restores f32-class parity — measured free on the "
+                        "shipped bf16 stack)")
     p.add_argument("--window-bucket", type=int, default=4,
                    help="with --scan: round the program's window count up "
                         "to a multiple of this (padded windows' outputs "

@@ -80,6 +80,12 @@ def parse_args():
                    help="after export, stream N synthetic frames through "
                         "the reloaded artifact AND a live ESTMRunner and "
                         "compare frame-for-frame")
+    p.add_argument("--precision", choices=["default", "high", "highest"],
+                   default="high",
+                   help="matmul/conv precision BAKED into the exported "
+                        "program — matches the eval tools' shipped "
+                        "'high' default (absolute on-chip parity at "
+                        "1.4e-5, free on the bf16 stack; PARITY.md)")
     return p.parse_args()
 
 

@@ -110,13 +110,16 @@ def parse_args():
                         "gates the eval execution-strategy flag "
                         "end-to-end against the actual reference")
     p.add_argument("--precision", choices=["default", "high", "highest"],
-                   default="default",
-                   help="OUR side's global matmul/conv precision. On TPU "
-                        "the backend default (1 bf16 pass) is a model-wide "
-                        "~1.15e-3 drift vs the torch-f32 reference that "
-                        "EVERY variant shares (incl. exact); measured "
-                        "on-chip: high 1.4e-5, highest 8.0e-7 — both PASS. "
-                        "CPU f32 numerics pass at 'default' (PARITY.md)")
+                   default="high",
+                   help="OUR side's global matmul/conv precision; default "
+                        "'high' matches the eval tools' shipped default "
+                        "(round-5 flip — measured free on the bf16 stack). "
+                        "On TPU the BACKEND default (1 bf16 pass, "
+                        "'--precision default') is a model-wide ~1.15e-3 "
+                        "drift vs the torch-f32 reference that EVERY "
+                        "variant shares (incl. exact); measured on-chip: "
+                        "high 1.4e-5, highest 8.0e-7 — both PASS. CPU f32 "
+                        "numerics pass at any setting (PARITY.md)")
     return p.parse_args()
 
 
