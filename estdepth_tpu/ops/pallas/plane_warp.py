@@ -59,6 +59,7 @@ kernels is bf16 quantization of the two inter-stage intermediates
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -227,6 +228,56 @@ def _make_pass2_kernel(packed: bool):
     return kernel
 
 
+def _make_fused_pass_kernel(packed: bool, cblk: int):
+    """K2 + K3 fused per (plane, channel-block): pass-1, the per-channel
+    [H, W] -> [W, H] relayout, and pass-2 all inside one kernel, so the
+    pass-1 intermediate never round-trips HBM and the inter-kernel XLA
+    transpose program disappears. The math is the SAME ops in the SAME
+    order as the split kernels; outputs agree to 1 f32 ulp (compiler
+    FMA contraction differs with the reshaped broadcast graph — pinned
+    by tests/test_pallas_warp.py::test_fused_two_pass_matches_split) —
+    only the intermediate's residency changes (VMEM, not HBM).
+
+    Why per-channel: Mosaic cannot shape-cast [H*C, W] -> [H, C*W]
+    (regrouping across the lane axis is data movement it refuses to
+    infer), but the per-channel [H, W] -> [W, H] relayout is a plain 2D
+    vector transpose it supports. The channel axis moves to the grid
+    (innermost, `cblk` slices per step); the plane-indexed ab/yq/xv
+    blocks keep the SAME index across that inner dim, so the pipeline
+    fetches them once per plane, not once per channel."""
+    mix = _lerp2 if packed else _lerp1
+
+    def kernel(m_ref, ab_ref, yq_ref, xv_ref, out_ref):
+        # m [1, cblk, H, W] f32|int32 (channel-major so the blocked axis
+        # stays clear of the last-two-dims tiling constraint); ab
+        # [1, 2, W]; yq/xv [1, W, Hout]; out [1, cblk, W, Hout]
+        _, _, hh, ww = m_ref.shape
+        a = ab_ref[0, 0:1]  # [1, W]
+        b = ab_ref[0, 1:2]
+        hrow = jax.lax.broadcasted_iota(
+            jnp.int32, (hh, ww), 0
+        ).astype(jnp.float32)
+        xq = a * hrow + b  # [H, W] row-crossing x per target column
+        x0, f = _corner(xq, ww)
+        yq = yq_ref[0]
+        xv = xv_ref[0]
+        valid = (
+            (yq >= 0.0) & (yq <= hh - 1.0) & (xv >= 0.0) & (xv <= ww - 1.0)
+        )
+        y0, f2 = _corner(yq, hh)
+        for t in range(m_ref.shape[1]):
+            src = m_ref[0, t]  # [H, W]
+            g0 = jnp.take_along_axis(src, x0, axis=1)
+            g1 = jnp.take_along_axis(src, x0 + 1, axis=1)
+            j = mix(g0, g1, f)        # [H, W] — pass-1, stays in VMEM
+            jt = jnp.transpose(j)     # [W, H] 2D vector transpose
+            h0 = jnp.take_along_axis(jt, y0, axis=1)
+            h1 = jnp.take_along_axis(jt, y0 + 1, axis=1)
+            out_ref[0, t] = jnp.where(valid, mix(h0, h1, f2), 0)
+
+    return kernel
+
+
 def _line_coeffs(hmat: jnp.ndarray, width: int) -> jnp.ndarray:
     """Per-target-column source-line coefficients from homographies.
 
@@ -259,12 +310,48 @@ def _two_pass(maps_t, ab, yq, xv, planes_per_map: int,
     ab:     [P, 2, W] line coefficients
     yq/xv:  [P, W, Hout] exact per-voxel source y / x (for pass-2 + mask)
     Returns [P, Hout, W, C] f32 (int32 bf16-pairs when `packed`).
+
+    ESTDEPTH_FUSED_WARP=1 opts into the FUSED per-(plane, channel-block)
+    kernel (pass-1 intermediate stays in VMEM — no HBM round-trip, no
+    inter-kernel transpose program). Measured round-5 on chip: a WASH
+    (packed frustum x4 7.72/7.96 ms fused vs 7.69/7.74 unfused across
+    two sessions; plane-sweep within noise) — the chain is NOT
+    inter-kernel-HBM-bound, so the split two-kernel form stays the
+    default and the fused path is kept as a compile-time/A-B option.
     """
     m, hh, cc, ww = maps_t.shape
     p = ab.shape[0]
     hout = yq.shape[-1]
     interp = _interpret()
     dt = jnp.int32 if packed else jnp.float32
+
+    if os.environ.get("ESTDEPTH_FUSED_WARP"):
+        cblk = next(k for k in (4, 2, 1) if cc % k == 0)
+        # channel-major input so the blocked C axis stays clear of the
+        # last-two-dims tiling constraint; XLA folds this into the
+        # producer's transpose (transpose-of-transpose -> one copy)
+        maps_c = jnp.transpose(maps_t, (0, 2, 1, 3))  # [M, C, H, W]
+        out = pl.pallas_call(
+            _make_fused_pass_kernel(packed, cblk),
+            out_shape=jax.ShapeDtypeStruct((p, cc, ww, hout), dt),
+            # channel-block dim innermost: the plane-indexed blocks below
+            # keep the same index across it and are fetched once per plane
+            grid=(p, cc // cblk),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, cblk, hh, ww),
+                    lambda i, k, r=planes_per_map: (i // r, k, 0, 0),
+                ),
+                pl.BlockSpec((1, 2, ww), lambda i, k: (i, 0, 0)),
+                pl.BlockSpec((1, ww, hout), lambda i, k: (i, 0, 0)),
+                pl.BlockSpec((1, ww, hout), lambda i, k: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cblk, ww, hout), lambda i, k: (i, k, 0, 0)
+            ),
+            interpret=interp,
+        )(maps_c, ab, yq, xv)
+        return jnp.transpose(out, (0, 3, 2, 1))  # [P, Hout, W, C]
 
     j = pl.pallas_call(
         _make_pass1_kernel(packed),

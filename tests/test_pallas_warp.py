@@ -407,3 +407,40 @@ def test_soft_sampler_matches_torch_band():
             fn(jnp.array(src2), jnp.array(x), jnp.array(y), soft=True)
         )
         np.testing.assert_allclose(got, want2, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_two_pass_matches_split(setup, monkeypatch):
+    """ESTDEPTH_FUSED_WARP=1 opts into the single-kernel K2+K3 form
+    (pass-1 intermediate resident in VMEM, per-(plane, channel-block)
+    grid — plane_warp._make_fused_pass_kernel). Same ops in the same
+    order as the split kernels; outputs agree to 1 f32 ulp (compiler FMA
+    contraction differs with the reshaped broadcast graph) on every mode
+    that rides _two_pass — f32, packed bf16, and plane-sweep (which
+    exercises planes_per_map > 1). Measured a perf WASH on chip (module
+    docstring), kept as an A/B + compile-time option; this test keeps
+    the path correct."""
+    _, vol, intr, dvals, dmin, dint = setup
+    rel = POSES[3]
+    feat = vol[:, 0]
+    ref_proj = geometry.camera_projection(intr, _pose())
+    src_proj = geometry.camera_projection(intr, rel)
+
+    def run_all():
+        return (
+            frustum_warp(vol, rel, intr, dvals, dmin, dint,
+                         mode="plane_mix_pallas"),
+            frustum_warp(vol.astype(jnp.bfloat16), rel, intr, dvals, dmin,
+                         dint, mode="plane_mix_pallas_exact_z_packed"),
+            plane_sweep_warp(feat, src_proj, ref_proj, dvals,
+                             backend="pallas"),
+        )
+
+    monkeypatch.delenv("ESTDEPTH_FUSED_WARP", raising=False)
+    split = run_all()
+    monkeypatch.setenv("ESTDEPTH_FUSED_WARP", "1")
+    fused = run_all()
+    for s, f in zip(split, fused):
+        np.testing.assert_allclose(
+            np.asarray(s, np.float32), np.asarray(f, np.float32),
+            rtol=0.0, atol=3e-6,
+        )
