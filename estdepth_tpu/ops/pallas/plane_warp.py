@@ -265,7 +265,7 @@ def _make_fused_pass_kernel(packed: bool, cblk: int):
             (yq >= 0.0) & (yq <= hh - 1.0) & (xv >= 0.0) & (xv <= ww - 1.0)
         )
         y0, f2 = _corner(yq, hh)
-        for t in range(m_ref.shape[1]):
+        for t in range(cblk):
             src = m_ref[0, t]  # [H, W]
             g0 = jnp.take_along_axis(src, x0, axis=1)
             g1 = jnp.take_along_axis(src, x0 + 1, axis=1)
@@ -325,7 +325,7 @@ def _two_pass(maps_t, ab, yq, xv, planes_per_map: int,
     interp = _interpret()
     dt = jnp.int32 if packed else jnp.float32
 
-    if os.environ.get("ESTDEPTH_FUSED_WARP"):
+    if os.environ.get("ESTDEPTH_FUSED_WARP", "") not in ("", "0"):
         cblk = next(k for k in (4, 2, 1) if cc % k == 0)
         # channel-major input so the blocked C axis stays clear of the
         # last-two-dims tiling constraint; XLA folds this into the

@@ -562,6 +562,12 @@ def test_gradients_match_reference(ctx):
     )
 
 
+# reference-side results of the trajectory test, shared across its warp
+# parametrizations (the torch loop is warp-independent — see the comment
+# at its computation site)
+_TRAJECTORY_REF_CACHE: dict = {}
+
+
 @pytest.mark.parametrize("warp", ["exact", "gated_f32", "shipped_fast"])
 def test_training_trajectory_matches_reference(ctx, warp):
     """THREE real training steps vs the actual reference training recipe:
@@ -638,41 +644,63 @@ def test_training_trajectory_matches_reference(ctx, warp):
         return imgs, poses, dmaps, dmasks
 
     # ---- reference: the real torch training loop --------------------------
-    ref_model = build_reference_model(
-        ctx.variables, ndepths=NDEPTHS, depth_min=DEPTH_MIN,
-        depth_max=DEPTH_MAX, resnet=50, est_transformer=True,
-    )
-    ref_model.train()
-    ref_losses = []
-    with torch.enable_grad():
-        for p in ref_model.parameters():
-            p.requires_grad_(True)
-        opt = torch.optim.Adam(
-            ref_model.parameters(), lr=lr, betas=(0.9, 0.999),
-            weight_decay=wd,
+    # The reference side depends only on ctx and the fixed windows — it is
+    # identical across the warp parametrizations, so compute it ONCE per
+    # module and reuse (the 3-step ResNet-50 torch loop is the dominant
+    # cost of this already-slowest slow-tier test).
+    cache = _TRAJECTORY_REF_CACHE
+    if cache.get("ctx_id") != id(ctx):
+        ref_model = build_reference_model(
+            ctx.variables, ndepths=NDEPTHS, depth_min=DEPTH_MIN,
+            depth_max=DEPTH_MAX, resnet=50, est_transformer=True,
         )
-        sched = ctx.ref.utils.WarmupMultiStepLR(
-            opt, milestones=[10**6], gamma=0.5, warmup_factor=1.0 / 3,
-            warmup_iters=500,
+        ref_model.train()
+        ref_losses = []
+        with torch.enable_grad():
+            for p in ref_model.parameters():
+                p.requires_grad_(True)
+            opt = torch.optim.Adam(
+                ref_model.parameters(), lr=lr, betas=(0.9, 0.999),
+                weight_decay=wd,
+            )
+            sched = ctx.ref.utils.WarmupMultiStepLR(
+                opt, milestones=[10**6], gamma=0.5, warmup_factor=1.0 / 3,
+                warmup_iters=500,
+            )
+            for lo, hi in windows:
+                imgs, poses, dmaps, dmasks = np_batch(lo, hi)
+                opt.zero_grad()
+                _, losses = ref_model(
+                    _to_torch_imgs(imgs), torch.from_numpy(poses),
+                    torch.from_numpy(ctx.intr),
+                    _ref_sample(ctx.frames, lo, hi),
+                    None, None, mode="train",
+                )
+                losses["loss"].backward()
+                torch.nn.utils.clip_grad_norm_(
+                    ref_model.parameters(), clip, norm_type=2
+                )
+                opt.step()
+                sched.step()
+                ref_losses.append(float(losses["loss"]))
+            for p in ref_model.parameters():
+                p.requires_grad_(False)
+        ref_model.eval()
+        cache.clear()
+        cache.update(
+            ctx_id=id(ctx),
+            ref_losses=ref_losses,
+            ref_sd={
+                k: v.detach().numpy().copy()
+                for k, v in ref_model.state_dict().items()
+            },
+            named_ref={
+                k: v.detach().numpy().copy()
+                for k, v in ref_model.named_parameters()
+            },
         )
-        for lo, hi in windows:
-            imgs, poses, dmaps, dmasks = np_batch(lo, hi)
-            opt.zero_grad()
-            _, losses = ref_model(
-                _to_torch_imgs(imgs), torch.from_numpy(poses),
-                torch.from_numpy(ctx.intr), _ref_sample(ctx.frames, lo, hi),
-                None, None, mode="train",
-            )
-            losses["loss"].backward()
-            torch.nn.utils.clip_grad_norm_(
-                ref_model.parameters(), clip, norm_type=2
-            )
-            opt.step()
-            sched.step()
-            ref_losses.append(float(losses["loss"]))
-        for p in ref_model.parameters():
-            p.requires_grad_(False)
-    ref_model.eval()
+        del ref_model
+    ref_losses = cache["ref_losses"]
 
     # ---- ours: the shipped SPMD train step on a 1-device mesh -------------
     fast = warp != "exact"
@@ -724,7 +752,7 @@ def test_training_trajectory_matches_reference(ctx, warp):
             "batch_stats": jax.device_get(state.batch_stats),
         }
     )
-    ref_sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    ref_sd = cache["ref_sd"]
     n_stats = 0
     for name, got in final_sd.items():
         if not name.endswith(("running_mean", "running_var")):
@@ -739,9 +767,7 @@ def test_training_trajectory_matches_reference(ctx, warp):
 
     # ---- parameter updates at tensor-norm level ---------------------------
     init_sd = export_state_dict(ctx.variables)
-    named_ref = {
-        k: v.detach().numpy() for k, v in ref_model.named_parameters()
-    }
+    named_ref = cache["named_ref"]
     rels = []
     for name, p1 in final_sd.items():
         if name.endswith(("running_mean", "running_var")):
