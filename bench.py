@@ -315,7 +315,15 @@ def _probe_backend() -> None:
     while time.monotonic() < probe_deadline:
         attempt += 1
         p = subprocess.Popen(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [
+                sys.executable, "-c",
+                # probe the FULL path: init AND a computation fetch. The
+                # 2026-08-20 outage mode passed jax.devices() but hung
+                # every device->host fetch for ~2 hours — an init-only
+                # probe green-lights a relay that cannot execute.
+                "import jax, jax.numpy as jnp; "
+                "x = jnp.ones((16, 16)); float((x @ x).sum())",
+            ],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         try:
